@@ -2,17 +2,24 @@
 
 Multi-chip sharding paths are validated on a virtual CPU mesh (real multi-chip
 TPU hardware isn't available in CI); numerical golden tests don't need TPU.
-Must run before jax is imported anywhere.
+
+Note: this environment's sitecustomize imports jax at interpreter startup and
+registers a remote-TPU ("axon") backend, so env vars alone are too late —
+jax.config.update is required to actually select the CPU backend.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
