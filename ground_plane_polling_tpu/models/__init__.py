@@ -1,0 +1,50 @@
+"""Backbone registry + model factory.
+
+Mirrors the reference's `models.backbone(name)` dispatch
+(/root/reference/keras_retinanet_3D/models/__init__.py:42-56). Each entry maps
+a backbone name to a constructor returning an (images -> (C3, C4, C5)) flax
+module; `build_detector(name, ...)` assembles the full GPP-RetinaNet.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax.numpy as jnp
+
+from .resnet import RESNET_STAGES, ResNetBackbone
+from .retinanet import GPPRetinaNet
+
+__all__ = ["backbone_registry", "build_detector", "GPPRetinaNet"]
+
+
+def _resnet(name: str, dtype):
+    return ResNetBackbone(stage_sizes=RESNET_STAGES[name], dtype=dtype,
+                          name="backbone")
+
+
+def backbone_registry():
+    reg = {}
+    for name in RESNET_STAGES:
+        reg[name] = functools.partial(_resnet, name)
+    # vgg / densenet / mobilenet variants are registered by their modules
+    from . import vgg, densenet, mobilenet  # noqa: F401  (self-registering)
+    reg.update(vgg.REGISTRY)
+    reg.update(densenet.REGISTRY)
+    reg.update(mobilenet.REGISTRY)
+    return reg
+
+
+def build_detector(backbone: str = "resnet50", num_classes: int = 1,
+                   dtype: Any = jnp.float32) -> GPPRetinaNet:
+    reg = backbone_registry()
+    if backbone not in reg:
+        raise ValueError(
+            f"unknown backbone {backbone!r}; available: {sorted(reg)}")
+    ctor = reg[backbone]
+    return GPPRetinaNet(
+        backbone_fn=functools.partial(ctor, dtype=dtype),
+        num_classes=num_classes,
+        dtype=dtype,
+    )

@@ -1,0 +1,79 @@
+"""Model forward-pass shape and init-semantics tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ground_plane_polling_tpu.models import build_detector, backbone_registry
+from ground_plane_polling_tpu.ops import anchors as A
+
+IMG = (128, 160)  # small but exercises all 5 pyramid levels
+
+
+def _init_and_run(name, img=IMG, num_classes=1):
+    model = build_detector(name, num_classes=num_classes)
+    x = jnp.zeros((1, *img, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    return variables, out
+
+
+def test_resnet50_output_shapes():
+    _, out = _init_and_run("resnet50")
+    n = A.num_anchors_for_shape(IMG)
+    assert out["regression"].shape == (1, n, 12)
+    assert out["regression_dim"].shape == (1, n, 3)
+    assert out["classification"].shape == (1, n, 8)
+
+
+def test_multiclass_shapes():
+    _, out = _init_and_run("resnet50", num_classes=3)
+    n = A.num_anchors_for_shape(IMG)
+    assert out["regression_dim"].shape == (1, n, 9)
+    assert out["classification"].shape == (1, n, 24)
+
+
+def test_prior_probability_init():
+    """Zero classification kernel + prior bias => sigmoid outputs ~0.01."""
+    _, out = _init_and_run("resnet50")
+    cls = np.asarray(out["classification"])
+    np.testing.assert_allclose(cls, 0.01, rtol=1e-3)
+
+
+def test_frozen_collection_excluded_from_params():
+    model = build_detector("resnet50")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert "frozen" in variables  # BN stats live outside trainable params
+    leaves = jax.tree_util.tree_leaves(variables["params"])
+    frozen_leaves = jax.tree_util.tree_leaves(variables["frozen"])
+    assert len(leaves) > 0 and len(frozen_leaves) > 0
+
+
+def test_registry_contains_all_families():
+    reg = backbone_registry()
+    for name in ["resnet50", "resnet101", "resnet152", "vgg16", "vgg19",
+                 "densenet121", "densenet169", "densenet201",
+                 "mobilenet224_1.0"]:
+        assert name in reg
+
+
+@pytest.mark.parametrize("name", ["vgg16", "densenet121", "mobilenet224_1.0"])
+def test_alt_backbones_forward(name):
+    _, out = _init_and_run(name, img=(64, 64))
+    n = A.num_anchors_for_shape((64, 64))
+    assert out["regression"].shape == (1, n, 12)
+    assert np.isfinite(np.asarray(out["regression"])).all()
+
+
+def test_jit_forward_consistency():
+    model = build_detector("resnet50")
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    eager = model.apply(variables, x)
+    jitted = jax.jit(model.apply)(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(eager["regression"]), np.asarray(jitted["regression"]),
+        rtol=2e-4, atol=1e-5,
+    )
