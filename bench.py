@@ -1,0 +1,79 @@
+"""End-to-end GPP inference benchmark (driver contract).
+
+Measures the north-star metric from BASELINE.md: KITTI-resolution single
+image end-to-end inference (ResNet-50 backbone, bfloat16 compute, decode +
+NMS + 1k-plane polling + pose) on one TPU chip, in images/sec.
+
+The reference publishes no numbers; its per-image frame-rate print
+(run_network.py:108-111) on the Keras/TF-1.9 stack runs a ~5 fps-class
+pipeline on a contemporary GPU. vs_baseline is reported against 10 img/s —
+a deliberately generous estimate of the reference's end-to-end rate — so
+vs_baseline = measured / 10.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_FPS_ESTIMATE = 10.0
+
+# KITTI 375x1242 resized to min-side 800 / max-side 1333 => 403x1333;
+# padded up to conv-friendly multiples of 128
+IMAGE_SHAPE = (512, 1408)
+N_PLANES = 1024
+BATCH = 1
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    from ground_plane_polling_tpu.inference import make_detect_fn
+    from ground_plane_polling_tpu.models import build_detector
+
+    rng = np.random.RandomState(0)
+    model = build_detector("resnet50", num_classes=1, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, *IMAGE_SHAPE, 3), jnp.float32))
+    fn = make_detect_fn(model, IMAGE_SHAPE, num_classes=1, with_pose=True)
+
+    images = jnp.asarray(
+        rng.uniform(-128, 128, (BATCH, *IMAGE_SHAPE, 3)), jnp.float32)
+    P = np.array([[721.5, 0.0, 609.6, 44.9],
+                  [0.0, 721.5, 172.9, 0.2],
+                  [0.0, 0.0, 1.0, 0.003]])
+    P_inv = jnp.asarray(
+        np.tile(np.linalg.pinv(P)[None], (BATCH, 1, 1)), jnp.float32)
+    planes = np.stack([
+        rng.uniform(-0.05, 0.05, N_PLANES),
+        np.ones(N_PLANES),
+        rng.uniform(-0.05, 0.05, N_PLANES),
+        rng.uniform(-2.5, -1.0, N_PLANES),
+    ], axis=1)
+    planes = jnp.asarray(np.tile(planes[None], (BATCH, 1, 1)), jnp.float32)
+
+    for _ in range(WARMUP):
+        out = fn(variables, images, P_inv, planes)
+        jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(variables, images, P_inv, planes)
+        jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "gpp_resnet50_e2e_inference",
+        "value": round(images_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / REFERENCE_FPS_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""Training/eval input pipeline: host IO + one fused device-side program for
+augmentation and target assembly.
+
+Reference counterpart: the Keras Generator
+(/root/reference/keras_retinanet_3D/preprocessing/generator.py) — per-image
+python threads doing TF-session photometric aug, cv2 warps, and a numpy
+anchor-assignment hot loop. TPU-native restructuring:
+
+  host (numpy/PIL): read image -> resize to the static bucket scale -> pad to
+    ONE static (H, W) -> pad annotations/ignore boxes to static G/M;
+  device (one jit program per static shape): photometric + affine warp
+    augmentation -> caffe-mean subtraction -> vectorized anchor target
+    assignment for the whole batch.
+
+A single static padded shape per dataset keeps XLA from retracing (the
+reference's aspect-ratio grouping exists to limit pad waste across varying
+shapes; KITTI is single-resolution, so one bucket loses nothing).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import anchors as anchor_ops
+from ..ops.targets import anchor_targets
+from .augment import AugmentConfig, augment_example
+from .kitti import BGR_MEAN, KittiDataset, resize_scale
+
+__all__ = ["KittiLoader"]
+
+
+def _resize_image(image: np.ndarray, scale: float) -> np.ndarray:
+    from PIL import Image
+
+    h, w = image.shape[:2]
+    out = Image.fromarray(image.astype(np.uint8)).resize(
+        (int(round(w * scale)), int(round(h * scale))), Image.BILINEAR)
+    return np.asarray(out, dtype=np.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_classes", "do_augment", "config", "image_shape"))
+def _device_prepare(key, images, anns, ann_mask, ignores, ig_mask,
+                    num_classes: int, do_augment: bool,
+                    config: AugmentConfig, image_shape):
+    """Augment + normalize + assign targets for a whole batch on device."""
+    if do_augment:
+        keys = jax.random.split(key, images.shape[0])
+        images, anns, ignores = jax.vmap(
+            lambda k, i, a, g: augment_example(k, i, a, g, config=config)
+        )(keys, images, anns, ignores)
+
+    net_images = images - jnp.asarray(BGR_MEAN)
+
+    anchors = jnp.asarray(anchor_ops.anchors_for_shape(image_shape))
+    targets = jax.vmap(
+        lambda a, am, g, gm: anchor_targets(
+            anchors, a, am, g, gm, num_classes=num_classes)
+    )(anns, ann_mask, ignores, ig_mask)
+    return {
+        "image": net_images,
+        "labels": targets["labels"],
+        "regression": targets["regression"],
+        "regression_dim": targets["regression_dim"],
+    }
+
+
+class KittiLoader:
+    """Batched loader over a KittiDataset.
+
+    Train mode yields target batches; eval mode yields
+    (images, P_inv, planes, scales, indices) inference inputs.
+    """
+
+    def __init__(self, dataset: KittiDataset, batch_size: int = 1,
+                 image_min_side: int = 800, image_max_side: int = 1333,
+                 pad_multiple: int = 128, max_annotations: int = 32,
+                 max_ignore: int = 8, augment: bool = False,
+                 augment_config: AugmentConfig = AugmentConfig(),
+                 seed: int = 0, shuffle: bool = True):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.min_side = image_min_side
+        self.max_side = image_max_side
+        self.max_annotations = max_annotations
+        self.max_ignore = max_ignore
+        self.augment = augment
+        self.augment_config = augment_config
+        self.shuffle = shuffle
+        self._rng = np.random.RandomState(seed)
+        self._key = jax.random.PRNGKey(seed)
+
+        # one static padded shape for the whole dataset
+        hw = self._first_image_hw()
+        scale = resize_scale(hw, image_min_side, image_max_side)
+        sh = int(np.ceil(hw[0] * scale / pad_multiple)) * pad_multiple
+        sw = int(np.ceil(hw[1] * scale / pad_multiple)) * pad_multiple
+        self.image_shape = (sh, sw)
+
+        # aspect-ratio ordering like the reference (generator.py:245-256);
+        # with one bucket this only affects batch composition
+        order = sorted(range(len(dataset)), key=dataset.aspect_ratio)
+        self._groups = [
+            [order[i % len(order)] for i in range(s, s + batch_size)]
+            for s in range(0, len(order), batch_size)
+        ]
+
+    def _first_image_hw(self):
+        from PIL import Image
+
+        with Image.open(self.ds.image_paths[0]) as im:
+            return (im.height, im.width)
+
+    def __len__(self):
+        return len(self._groups)
+
+    def _load_padded(self, idx: int):
+        image = self.ds.load_image(idx).astype(np.float32)
+        anns, ignores = self.ds.load_annotations(idx)
+        scale = resize_scale(image.shape[:2], self.min_side, self.max_side)
+        image = _resize_image(image, scale)
+
+        h, w = self.image_shape
+        padded = np.zeros((h, w, 3), np.float32)
+        padded[: image.shape[0], : image.shape[1]] = image[:h, :w]
+
+        ga = np.zeros((self.max_annotations, 17), np.float32)
+        gm = np.zeros(self.max_annotations, bool)
+        n = min(len(anns), self.max_annotations)
+        if n:
+            scaled = anns[:n].copy()
+            scaled[:, :12] *= scale
+            ga[:n] = scaled
+            gm[:n] = True
+
+        ia = np.zeros((self.max_ignore, 4), np.float32)
+        im_ = np.zeros(self.max_ignore, bool)
+        m = min(len(ignores), self.max_ignore)
+        if m:
+            ia[:m] = ignores[:m] * scale
+            im_[:m] = True
+        return padded, ga, gm, ia, im_, scale
+
+    def epoch(self) -> Iterator[dict]:
+        """Yield training batches for one epoch."""
+        groups = list(self._groups)
+        if self.shuffle:
+            self._rng.shuffle(groups)
+        for group in groups:
+            items = [self._load_padded(i) for i in group]
+            images, ga, gm, ia, im_, _ = map(np.stack, zip(*items))
+            self._key, sub = jax.random.split(self._key)
+            yield _device_prepare(
+                sub, images, ga, gm, ia, im_,
+                num_classes=self.ds.num_classes,
+                do_augment=self.augment,
+                config=self.augment_config,
+                image_shape=self.image_shape,
+            )
+
+    def eval_inputs(self) -> Iterator[dict]:
+        """Yield per-image inference inputs (batch 1, like the reference's
+        evaluation sweep, utils/eval.py:82-91)."""
+        planes = self.ds.planes
+        for i in range(len(self.ds)):
+            padded, ga, gm, _, _, scale = self._load_padded(i)
+            P = self.ds.load_calibration(i)
+            P_scaled = np.diag([scale, scale, 1.0]) @ P
+            yield {
+                "index": i,
+                "scale": scale,
+                "image": (padded - BGR_MEAN)[None],
+                "P_inv": np.linalg.pinv(P_scaled)[None].astype(np.float32),
+                "planes": planes[None].astype(np.float32),
+                "annotations": ga[gm],
+            }

@@ -1,0 +1,149 @@
+"""End-to-end jitted inference: image -> 3D detections.
+
+This is the TPU-native replacement for the reference's "prediction model"
+graph (retinanet_bbox, /root/reference/keras_retinanet_3D/models/
+retinanet.py:359-422): one pure function, traced once per static
+(image shape, plane count) pair, covering
+
+  backbone -> FPN -> heads -> sign-aware box decode -> dim decode
+  -> filter/NMS/top-k -> ground-plane polling [-> pose solve].
+
+Outputs mirror the reference's 8 prediction-model outputs
+(boxes, dims, scores, labels, orientations, keypoints, keyplanes,
+residuals), padded to `max_detections` with -1; pose outputs are optional
+extras (the reference solves pose on the host per detection;
+here it's device-side vectorized math in the same XLA program).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import build_detector
+from .ops import anchors as anchor_ops
+from .ops import box_coder
+from .ops.filtering import filter_detections_batch
+from .ops.polling import fit_road_planes
+from .ops.pose import solve_pose
+
+__all__ = ["DetectionOutput", "decode_predictions", "make_detect_fn",
+           "GPPDetector"]
+
+
+class DetectionOutput(NamedTuple):
+    boxes: jax.Array         # (B, M, 12)
+    dims: jax.Array          # (B, M, 3)
+    scores: jax.Array        # (B, M)
+    labels: jax.Array        # (B, M) int32
+    orientations: jax.Array  # (B, M) int32
+    keypoints: jax.Array     # (B, M, 4, 3)
+    keyplanes: jax.Array     # (B, M, 1, 4)
+    residuals: jax.Array     # (B, M)
+    locations: Optional[jax.Array] = None  # (B, M, 3) if with_pose
+    angles: Optional[jax.Array] = None     # (B, M, 3) if with_pose
+    pose_dims: Optional[jax.Array] = None  # (B, M, 3) if with_pose
+
+
+def decode_predictions(raw, anchors, num_classes: int):
+    """Raw head outputs -> decoded boxes (B, N, 12) and dims (B, N, 3C).
+
+    The xm/xt side is recovered from the classification argmax: scores in
+    the first 4C columns mean 'left of anchor centre'
+    (reference layers/_misc.py:133-141).
+    """
+    cls = raw["classification"]
+    half = cls.shape[-1] // 2
+    sign = jnp.where(jnp.argmax(cls, axis=-1) < half, -1.0, 1.0)
+    boxes = box_coder.decode_boxes(anchors[None], raw["regression"], sign)
+    dims = box_coder.decode_dims(raw["regression_dim"])
+    return boxes, dims
+
+
+def make_detect_fn(
+    model,
+    image_shape,
+    num_classes: int = 1,
+    with_pose: bool = False,
+    class_specific: bool = True,
+    orientation_specific: bool = False,
+    nms: bool = True,
+    score_threshold: float = 0.05,
+    max_detections: int = 100,
+    nms_threshold: float = 0.5,
+    pre_nms_top_k: int = 1024,
+):
+    """Build the jitted detect function for a static padded image shape.
+
+    Returned signature: detect(variables, images (B,H,W,3),
+    P_inv (B,4,3), planes (B,P,4)) -> DetectionOutput.
+    """
+    anchors = jnp.asarray(anchor_ops.anchors_for_shape(image_shape))
+
+    @jax.jit
+    def detect(variables, images, P_inv, planes) -> DetectionOutput:
+        raw = model.apply(variables, images)
+        boxes, dims = decode_predictions(raw, anchors, num_classes)
+        det = filter_detections_batch(
+            boxes, dims, raw["classification"],
+            num_classes=num_classes,
+            class_specific=class_specific,
+            orientation_specific=orientation_specific,
+            nms=nms,
+            score_threshold=score_threshold,
+            max_detections=max_detections,
+            nms_threshold=nms_threshold,
+            pre_nms_top_k=pre_nms_top_k,
+        )
+        poll = fit_road_planes(
+            det.boxes, det.dims, det.orientations, P_inv, planes)
+        out = DetectionOutput(
+            boxes=det.boxes, dims=det.dims, scores=det.scores,
+            labels=det.labels, orientations=det.orientations,
+            keypoints=poll.keypoints, keyplanes=poll.keyplanes,
+            residuals=poll.residuals,
+        )
+        if with_pose:
+            pose = solve_pose(poll.keypoints, jnp.maximum(det.orientations, 0),
+                              det.dims)
+            out = out._replace(locations=pose.locations, angles=pose.angles,
+                               pose_dims=pose.dimensions)
+        return out
+
+    return detect
+
+
+class GPPDetector:
+    """Convenience wrapper bundling model + params + jitted detect fns.
+
+    Detect functions are cached per (batch, image shape, plane count) so
+    repeated calls at the same padded shapes reuse the compiled program.
+    """
+
+    def __init__(self, backbone: str = "resnet50", num_classes: int = 1,
+                 dtype: Any = jnp.float32, **filter_kwargs):
+        self.model = build_detector(backbone, num_classes=num_classes,
+                                    dtype=dtype)
+        self.num_classes = num_classes
+        self.filter_kwargs = filter_kwargs
+        self.variables = None
+        self._fns = {}
+
+    def init(self, rng, image_shape):
+        x = jnp.zeros((1, *image_shape, 3), jnp.float32)
+        self.variables = self.model.init(rng, x)
+        return self.variables
+
+    def __call__(self, images, P_inv, planes, with_pose: bool = False):
+        if self.variables is None:
+            raise RuntimeError("call .init() or load weights first")
+        key = (images.shape[1:3], bool(with_pose))
+        if key not in self._fns:
+            self._fns[key] = make_detect_fn(
+                self.model, images.shape[1:3], num_classes=self.num_classes,
+                with_pose=with_pose, **self.filter_kwargs)
+        return self._fns[key](self.variables, images, P_inv, planes)

@@ -1,0 +1,149 @@
+"""Data-layer tests: label prep, dataset parsing, pipeline, augmentation."""
+
+import numpy as np
+import pytest
+
+from ground_plane_polling_tpu.data import label_prep
+from ground_plane_polling_tpu.data.augment import (
+    AugmentConfig, augment_example, transform_annotations)
+from ground_plane_polling_tpu.data.kitti import KittiDataset
+from ground_plane_polling_tpu.data.pipeline import KittiLoader
+
+from .fixtures import P2, make_synthetic_kitti
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    return make_synthetic_kitti(str(tmp_path_factory.mktemp("kitti")))
+
+
+def test_label_prep_orientation_classes():
+    """Orientation class = quadrant of alpha; keypoint ids per class."""
+    for alpha_deg, want_cls in [(45, 0), (135, 1), (-45, 2), (-135, 3)]:
+        obj = label_prep.KittiObject(
+            type="Car", truncated=0.0, occluded=0,
+            alpha=np.deg2rad(alpha_deg),
+            box2d=np.array([0.0, 0, 10, 10]),
+            dims=np.array([1.5, 1.7, 4.2]),
+            location=np.array([0.0, 1.65, 10.0]), yaw=0.3)
+        row = label_prep.modified_label_row(obj, P2)
+        assert row.split()[0] == "Car"
+        assert int(row.split()[-1]) == want_cls
+
+
+def test_label_prep_behind_camera_dontcare():
+    obj = label_prep.KittiObject(
+        type="Car", truncated=0.0, occluded=0, alpha=0.5,
+        box2d=np.array([1.0, 2, 30, 40]), dims=np.array([1.5, 1.7, 4.2]),
+        location=np.array([0.0, 1.65, -5.0]), yaw=0.0)
+    row = label_prep.modified_label_row(obj, P2).split()
+    assert row[0] == "DontCare"
+    assert float(row[8]) == -10000.0  # sentinel keypoints
+    assert int(row[-1]) == -1
+    # original 2D box preserved
+    assert [float(v) for v in row[4:8]] == [1.0, 2.0, 30.0, 40.0]
+
+
+def test_label_prep_amodal_box_is_corner_hull():
+    obj = label_prep.KittiObject(
+        type="Car", truncated=0.0, occluded=0, alpha=0.4,
+        box2d=np.array([0.0, 0, 1, 1]),  # bogus; must be replaced
+        dims=np.array([1.5, 1.7, 4.2]),
+        location=np.array([2.0, 1.65, 12.0]), yaw=0.7)
+    row = label_prep.modified_label_row(obj, P2).split()
+    corners2 = label_prep.project_points(label_prep.box3d_corners(obj), P2)
+    np.testing.assert_allclose(
+        [float(v) for v in row[4:8]],
+        [corners2[0].min(), corners2[1].min(),
+         corners2[0].max(), corners2[1].max()], rtol=1e-5)
+
+
+def test_dataset_parses_fixture(kitti_root):
+    ds = KittiDataset(kitti_root, "train")
+    assert len(ds) == 2
+    assert ds.num_classes == 1
+    anns, ignores = ds.load_annotations(0)
+    assert anns.shape[1] == 17
+    assert len(anns) == 2  # Car + Van
+    assert (anns[:, 15] == 0).all()  # both map to class 0
+    assert anns[0, 16] in (0, 1, 2, 3)
+    assert len(ignores) == 1  # the DontCare row
+    P = ds.load_calibration(0)
+    np.testing.assert_allclose(P, P2, rtol=1e-6)
+    assert ds.planes.shape == (10, 4)
+
+
+def test_loader_train_batch(kitti_root):
+    ds = KittiDataset(kitti_root, "train")
+    loader = KittiLoader(ds, batch_size=2, image_min_side=128,
+                         image_max_side=448, pad_multiple=64)
+    batch = next(iter(loader.epoch()))
+    b, h, w, _ = batch["image"].shape
+    assert b == 2 and h % 64 == 0 and w % 64 == 0
+    n = batch["labels"].shape[1]
+    assert batch["regression"].shape == (2, n, 13)
+    assert batch["regression_dim"].shape == (2, n, 4)
+    # at least one positive anchor somewhere in the batch
+    assert (np.asarray(batch["regression"])[:, :, 12] == 1).any()
+
+
+def test_loader_eval_inputs(kitti_root):
+    ds = KittiDataset(kitti_root, "val")
+    loader = KittiLoader(ds, batch_size=1, image_min_side=128,
+                         image_max_side=448, pad_multiple=64, shuffle=False)
+    item = next(loader.eval_inputs())
+    assert item["image"].shape[0] == 1
+    assert item["P_inv"].shape == (1, 4, 3)
+    assert item["planes"].shape == (1, 10, 4)
+    # P_inv really is the pseudo-inverse of the scaled P
+    P_scaled = np.diag([item["scale"], item["scale"], 1.0]) @ P2
+    np.testing.assert_allclose(item["P_inv"][0], np.linalg.pinv(P_scaled),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_xflip_swaps_orientation_and_keypoints():
+    ann = np.zeros((1, 17), np.float32)
+    ann[0, :4] = [10, 10, 50, 50]
+    ann[0, 4:12] = [12, 48, 30, 49, 47, 48, 28, 12]  # l, m, r, t
+    ann[0, 16] = 0
+    w = 100.0
+    flip = np.array([[-1.0, 0, w], [0, 1, 0], [0, 0, 1]])  # x-flip about w/2
+    out = np.asarray(transform_annotations(flip, True, ann))
+    # orientation 0 -> 1
+    assert out[0, 16] == 1
+    # l keypoint is now the flipped former r keypoint
+    np.testing.assert_allclose(out[0, 4], w - 47.0, rtol=1e-6)
+    np.testing.assert_allclose(out[0, 8], w - 12.0, rtol=1e-6)
+    # box is the transformed hull
+    np.testing.assert_allclose(out[0, :4], [w - 50, 10, w - 10, 50],
+                               rtol=1e-6)
+    # no-flip identity keeps everything
+    ident = np.eye(3)
+    out2 = np.asarray(transform_annotations(ident, False, ann))
+    np.testing.assert_allclose(out2[0], ann[0], rtol=1e-6)
+
+
+def test_augment_example_shapes_and_range(rng):
+    import jax
+
+    img = rng.uniform(0, 255, (64, 96, 3)).astype(np.float32)
+    ann = np.zeros((4, 17), np.float32)
+    ig = np.zeros((2, 4), np.float32)
+    out_img, out_ann, out_ig = augment_example(
+        jax.random.PRNGKey(0), img, ann, ig)
+    assert out_img.shape == img.shape
+    assert float(np.asarray(out_img).min()) >= 0.0
+    assert float(np.asarray(out_img).max()) <= 255.0
+    assert out_ann.shape == ann.shape and out_ig.shape == ig.shape
+
+
+def test_photometric_identity_config(rng):
+    """With degenerate ranges the photometric chain is the identity."""
+    import jax
+    from ground_plane_polling_tpu.data.augment import photometric
+
+    cfg = AugmentConfig(brightness_delta=0.0, contrast_range=(1.0, 1.0),
+                        saturation_range=(1.0, 1.0), hue_delta=0.0)
+    img = rng.uniform(0, 255, (32, 32, 3)).astype(np.float32)
+    out = np.asarray(photometric(jax.random.PRNGKey(0), img, cfg))
+    np.testing.assert_allclose(out, img, rtol=1e-3, atol=0.5)

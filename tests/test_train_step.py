@@ -1,0 +1,126 @@
+"""Train-step tests: loss decreases, clipnorm semantics, sharded DP step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ground_plane_polling_tpu.models import build_detector
+from ground_plane_polling_tpu.ops import anchors as anchor_ops
+from ground_plane_polling_tpu.parallel import data_parallel_mesh, shard_batch
+from ground_plane_polling_tpu.training.train import (
+    TrainState, clip_per_tensor_norm, create_train_state, make_optimizer,
+    make_sharded_train_step, make_train_step)
+
+IMG = (64, 64)
+
+
+def _tiny_batch(batch=1):
+    n = anchor_ops.num_anchors_for_shape(IMG)
+    rng = np.random.RandomState(0)
+    b = {
+        "image": rng.uniform(-1, 1, (batch, *IMG, 3)).astype(np.float32),
+        "labels": np.zeros((batch, n, 8), np.float32),
+        "regression": np.zeros((batch, n, 13), np.float32),
+        "regression_dim": np.zeros((batch, n, 4), np.float32),
+    }
+    b["labels"][:, :6, 1] = 1.0
+    b["regression"][:, :6, :12] = 0.5
+    b["regression"][:, :6, 12] = 1.0
+    b["regression_dim"][:, :6, :3] = 0.3
+    b["regression_dim"][:, :6, 3] = 1.0
+    return b
+
+
+def test_loss_decreases_over_steps():
+    model = build_detector("resnet50")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, *IMG, 3), jnp.float32))
+    tx = make_optimizer(learning_rate=2e-4)  # gentle lr so the descent is monotone-ish
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx)
+    batch = _tiny_batch()
+    losses = []
+    for _ in range(10):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    # SGD on a fresh random net is noisy; require clear net progress
+    assert min(losses[-3:]) < losses[0]
+    assert int(state.step) == 10
+
+
+def test_clip_per_tensor_norm():
+    tx = clip_per_tensor_norm(0.001)
+    grads = {"a": jnp.ones(100) * 10.0, "b": jnp.full(4, 1e-6)}
+    clipped, _ = tx.update(grads, tx.init(grads))
+    # large tensor clipped to norm 0.001, small one untouched
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(clipped["a"])), 0.001, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(clipped["b"]), 1e-6, rtol=1e-5)
+
+
+def test_freeze_backbone_zeroes_backbone_updates():
+    model = build_detector("resnet50")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, *IMG, 3), jnp.float32))
+    tx = make_optimizer(freeze_backbone=True)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx)
+    new_state, _ = step(state, _tiny_batch())
+    # backbone params unchanged; at least one head param changed
+    bb_before = jax.tree_util.tree_leaves(state.params["backbone"])
+    # state was donated; rebuild from a fresh init for comparison
+    variables2 = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, *IMG, 3), jnp.float32))
+    bb_before = jax.tree_util.tree_leaves(variables2["params"]["backbone"])
+    bb_after = jax.tree_util.tree_leaves(new_state.params["backbone"])
+    for a, b in zip(bb_before, bb_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    head_before = jax.tree_util.tree_leaves(variables2["params"]["regression"])
+    head_after = jax.tree_util.tree_leaves(new_state.params["regression"])
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(head_before, head_after))
+
+
+def test_sharded_train_step_8_devices():
+    assert jax.device_count() >= 8, "conftest must provide 8 cpu devices"
+    model = build_detector("resnet50")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, *IMG, 3), jnp.float32))
+    tx = make_optimizer()
+    state = create_train_state(variables, tx)
+    mesh = data_parallel_mesh(8)
+    with mesh:
+        batch = shard_batch(mesh, _tiny_batch(batch=8))
+        step = make_sharded_train_step(model, tx, mesh)
+        state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+
+def test_sharded_matches_single_device():
+    """DP over 8 devices must equal the single-device step on the same batch."""
+    model = build_detector("resnet50")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, *IMG, 3), jnp.float32))
+    tx = make_optimizer(learning_rate=1e-3)
+    batch = _tiny_batch(batch=8)
+
+    s1 = create_train_state(variables, tx)
+    step1 = make_train_step(model, tx)
+    s1, m1 = step1(s1, batch)
+
+    variables2 = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, *IMG, 3), jnp.float32))
+    s2 = create_train_state(variables2, tx)
+    mesh = data_parallel_mesh(8)
+    with mesh:
+        step8 = make_sharded_train_step(model, tx, mesh)
+        s2, m8 = step8(s2, shard_batch(mesh, batch))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-6)
