@@ -1,0 +1,171 @@
+"""Headless visualization (PIL): 2D boxes, keypoint glyphs, dashed-edge 3D
+wireframes, annotations, anchors.
+
+Feature parity with /root/reference/keras_retinanet_3D/utils/
+visualization.py (draw_box/draw_caption/draw_detections_with_keypoints/
+drawdashedline/draw_3d_detections(_from_pose)/draw_annotations/draw_anchors)
+but implemented on PIL ImageDraw so it runs with no display and no OpenCV.
+Images are numpy BGR uint8 arrays throughout (the reference's convention);
+drawing mutates a PIL copy and returns the numpy result.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..ops.pose import matrix_from_rodrigues
+from .colors import label_color
+
+__all__ = [
+    "draw_box", "draw_caption", "draw_dashed_line",
+    "draw_detections_with_keypoints", "draw_3d_detections_from_pose",
+    "draw_annotations_with_keypoints", "draw_anchors",
+]
+
+ORIENTATION_COLORS = [(0, 0, 255), (0, 255, 0), (255, 0, 0), (0, 255, 255)]
+
+
+def _to_pil(image):
+    from PIL import Image
+
+    return Image.fromarray(image[:, :, ::-1])  # BGR -> RGB
+
+
+def _from_pil(pil):
+    return np.asarray(pil)[:, :, ::-1].copy()
+
+
+def _rgb(bgr):
+    return (bgr[2], bgr[1], bgr[0])
+
+
+def draw_box(draw, box, color, thickness=2):
+    draw.rectangle([box[0], box[1], box[2], box[3]], outline=_rgb(color),
+                   width=thickness)
+
+
+def draw_caption(draw, box, caption, color=(0, 0, 0)):
+    draw.text((box[0], max(box[1] - 12, 0)), caption, fill=_rgb(color))
+
+
+def draw_dashed_line(draw, p1, p2, color, dash=8, thickness=1):
+    p1, p2 = np.asarray(p1, float), np.asarray(p2, float)
+    length = float(np.linalg.norm(p2 - p1))
+    if length < 1e-6:
+        return
+    n = max(int(length / dash), 1)
+    direction = (p2 - p1) / length
+    for i in range(0, n + 1, 2):
+        a = p1 + direction * min(i * dash, length)
+        b = p1 + direction * min((i + 1) * dash, length)
+        draw.line([tuple(a), tuple(b)], fill=_rgb(color), width=thickness)
+
+
+def _keypoint_glyphs(draw, kp, color):
+    """l = circle, m = triangle, r = square, t = cross."""
+    xl, yl, xm, ym, xr, yr, xt, yt = [float(v) for v in kp]
+    r = 4
+    draw.ellipse([xl - r, yl - r, xl + r, yl + r], outline=_rgb(color), width=2)
+    draw.polygon([(xm, ym - r), (xm - r, ym + r), (xm + r, ym + r)],
+                 outline=_rgb(color))
+    draw.rectangle([xr - r, yr - r, xr + r, yr + r], outline=_rgb(color),
+                   width=2)
+    draw.line([(xt - r, yt), (xt + r, yt)], fill=_rgb(color), width=2)
+    draw.line([(xt, yt - r), (xt, yt + r)], fill=_rgb(color), width=2)
+
+
+def draw_detections_with_keypoints(image, boxes, scores, labels, orientations,
+                                   score_threshold=0.4, label_to_name=None):
+    """2D boxes coloured by orientation + keypoint glyphs + score captions."""
+    from PIL import ImageDraw
+
+    pil = _to_pil(image)
+    draw = ImageDraw.Draw(pil)
+    for i in range(len(scores)):
+        if scores[i] < score_threshold:
+            continue
+        color = ORIENTATION_COLORS[int(orientations[i]) % 4]
+        draw_box(draw, boxes[i, :4], color)
+        _keypoint_glyphs(draw, boxes[i, 4:12], color)
+        name = (label_to_name(int(labels[i])) if label_to_name
+                else str(int(labels[i])))
+        draw_caption(draw, boxes[i, :4], f"{name} {scores[i]:.2f}", color)
+    return _from_pil(pil)
+
+
+# 3D box wireframe edges between the canonical 8 corners
+_EDGES_BOTTOM = [(0, 1), (1, 2), (2, 3), (3, 0)]
+_EDGES_TOP = [(4, 5), (5, 6), (6, 7), (7, 4)]
+_EDGES_VERT = [(0, 4), (1, 5), (2, 6), (3, 7)]
+
+
+def draw_3d_detections_from_pose(image, boxes2d, orientations, residuals,
+                                 scores, labels, locations, angles,
+                                 dimensions, P, score_threshold=0.4,
+                                 label_to_name=None):
+    """Project each recovered 3D box into the image and draw the wireframe;
+    hidden-ish (far-side) edges are dashed, colour by orientation."""
+    from PIL import ImageDraw
+
+    pil = _to_pil(image)
+    draw = ImageDraw.Draw(pil)
+    for i in range(len(scores)):
+        if scores[i] < score_threshold:
+            continue
+        h, w, l = [float(v) for v in dimensions[i]]
+        x_c = np.array([l / 2, l / 2, -l / 2, -l / 2,
+                        l / 2, l / 2, -l / 2, -l / 2])
+        y_c = np.array([0.0, 0, 0, 0, -h, -h, -h, -h])
+        z_c = np.array([w / 2, -w / 2, -w / 2, w / 2,
+                        w / 2, -w / 2, -w / 2, w / 2])
+        R = np.asarray(matrix_from_rodrigues(np.asarray(angles[i])))
+        corners = R @ np.stack([x_c, y_c, z_c]) + np.asarray(
+            locations[i])[:, None]
+        if (corners[2] < 0.1).any():
+            continue
+        hom = P @ np.vstack([corners, np.ones((1, 8))])
+        pts = (hom[:2] / hom[2:3]).T  # (8, 2)
+
+        color = ORIENTATION_COLORS[int(orientations[i]) % 4]
+        depth = corners[2]
+        far = depth > np.median(depth)
+        for a, b in _EDGES_BOTTOM + _EDGES_TOP + _EDGES_VERT:
+            if far[a] and far[b]:
+                draw_dashed_line(draw, pts[a], pts[b], color, thickness=1)
+            else:
+                draw.line([tuple(pts[a]), tuple(pts[b])], fill=_rgb(color),
+                          width=2)
+        caption_box = [pts[:, 0].min(), pts[:, 1].min(), 0, 0]
+        draw_caption(draw, caption_box,
+                     f"r={float(residuals[i]):.2f}", color)
+    return _from_pil(pil)
+
+
+def draw_annotations_with_keypoints(image, annotations, label_to_name=None):
+    """Ground-truth boxes + keypoints, coloured by orientation class."""
+    from PIL import ImageDraw
+
+    pil = _to_pil(image)
+    draw = ImageDraw.Draw(pil)
+    for a in annotations:
+        color = ORIENTATION_COLORS[int(a[16]) % 4]
+        draw_box(draw, a[:4], color)
+        _keypoint_glyphs(draw, a[4:12], color)
+    return _from_pil(pil)
+
+
+def draw_anchors(image, anchors, labels8c):
+    """Positive anchors coloured by their orientation slot (debug view,
+    reference utils/visualization.py:440-455)."""
+    from PIL import ImageDraw
+
+    pil = _to_pil(image)
+    draw = ImageDraw.Draw(pil)
+    pos = np.where(labels8c.max(axis=1) == 1)[0]
+    for i in pos:
+        slot = int(np.argmax(labels8c[i]))
+        orient = slot % 4
+        draw_box(draw, anchors[i], ORIENTATION_COLORS[orient], thickness=1)
+    return _from_pil(pil)
