@@ -29,10 +29,11 @@ def backbone_registry():
     for name in RESNET_STAGES:
         reg[name] = functools.partial(_resnet, name)
     # vgg / densenet / mobilenet variants are registered by their modules
-    from . import vgg, densenet, mobilenet  # noqa: F401  (self-registering)
+    from . import vgg, densenet, mobilenet, tiny  # noqa: F401
     reg.update(vgg.REGISTRY)
     reg.update(densenet.REGISTRY)
     reg.update(mobilenet.REGISTRY)
+    reg.update(tiny.REGISTRY)
     return reg
 
 

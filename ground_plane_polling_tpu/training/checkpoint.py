@@ -1,0 +1,93 @@
+"""Checkpoint save/restore (orbax) + portable weight export.
+
+Replaces the reference's per-epoch h5 ModelCheckpoint + --snapshot resume
+(/root/reference/keras_retinanet_3D/bin/train.py:168-182,343-347): the full
+TrainState (step, params, frozen BN stats, optimizer state, lr) round-trips
+through orbax, and `export_params` / `import_params` write a flat .npz of
+(params + frozen) for inference-only distribution — the equivalent of the
+reference's convert-model artifact.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .train import TrainState
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_checkpoint",
+           "export_params", "import_params"]
+
+
+def _ckpt_path(ckpt_dir: str, step: int) -> str:
+    return os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState) -> str:
+    import orbax.checkpoint as ocp
+
+    path = _ckpt_path(ckpt_dir, int(state.step))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state._asdict()), force=True)
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    return os.path.join(os.path.abspath(ckpt_dir), steps[-1]) if steps else None
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    """Restore into the structure of `template` (an abstract or concrete
+    TrainState from create_train_state)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path, item=jax.device_get(template._asdict()))
+    return TrainState(**restored)
+
+
+# ---------------------------------------------------------------------------
+# flat npz export (inference weights)
+# ---------------------------------------------------------------------------
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat):
+    tree = {}
+    for key, value in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def export_params(path: str, variables) -> None:
+    """Write {'params': ..., 'frozen': ...} to one flat .npz."""
+    flat = _flatten(jax.device_get(
+        {"params": variables["params"],
+         "frozen": variables.get("frozen", {})}))
+    np.savez(path, **flat)
+
+
+def import_params(path: str):
+    """Load an exported .npz back into a variables dict."""
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    tree = _unflatten(flat)
+    return {"params": tree.get("params", {}), "frozen": tree.get("frozen", {})}

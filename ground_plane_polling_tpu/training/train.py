@@ -33,6 +33,9 @@ class TrainState(NamedTuple):
     params: Any
     frozen: Any      # frozen BN statistics (never updated)
     opt_state: Any
+    lr: jax.Array    # current learning rate (a traced scalar, so the
+                     # reduce-on-plateau callback can change it without
+                     # recompiling the train step)
 
 
 def clip_per_tensor_norm(max_norm: float) -> optax.GradientTransformation:
@@ -57,17 +60,19 @@ def clip_per_tensor_norm(max_norm: float) -> optax.GradientTransformation:
 
 def make_optimizer(learning_rate=1e-5, clipnorm: float = 0.001,
                    freeze_backbone: bool = False):
-    """Adam with keras-style per-tensor clipnorm; optionally freezes the
-    backbone like the reference's --freeze-backbone
-    (bin/train.py:96, utils/model.py:18-28).
+    """Adam preconditioner with keras-style per-tensor clipnorm.
 
-    `learning_rate` may be a float or an optax schedule / injectable
-    hyperparam; wrap with optax.inject_hyperparams to adjust it at runtime
-    (used by the reduce-on-plateau callback).
+    The learning-rate scaling is applied in the train step from
+    TrainState.lr (so the reduce-on-plateau callback can change it without
+    recompiling); `learning_rate` here only sets the initial TrainState.lr
+    via create_train_state's default. Optionally freezes the backbone like
+    the reference's --freeze-backbone (bin/train.py:96,
+    utils/model.py:18-28).
     """
+    del learning_rate  # carried in TrainState.lr; kept for API clarity
     tx = optax.chain(
         clip_per_tensor_norm(clipnorm),
-        optax.adam(learning_rate),
+        optax.scale_by_adam(),
     )
     if freeze_backbone:
         def label_fn(params):
@@ -82,13 +87,15 @@ def make_optimizer(learning_rate=1e-5, clipnorm: float = 0.001,
     return tx
 
 
-def create_train_state(variables, tx) -> TrainState:
+def create_train_state(variables, tx, learning_rate: float = 1e-5
+                       ) -> TrainState:
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         frozen=variables.get("frozen", {}),
         opt_state=tx.init(params),
+        lr=jnp.asarray(learning_rate, jnp.float32),
     )
 
 
@@ -117,9 +124,11 @@ def make_train_step(model, tx, compat_height_only: bool = False):
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: -state.lr * u, updates)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params,
-                               frozen=state.frozen, opt_state=opt_state)
+                               frozen=state.frozen, opt_state=opt_state,
+                               lr=state.lr)
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
@@ -140,9 +149,11 @@ def make_sharded_train_step(model, tx, mesh,
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: -state.lr * u, updates)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params,
-                               frozen=state.frozen, opt_state=opt_state)
+                               frozen=state.frozen, opt_state=opt_state,
+                               lr=state.lr)
         return new_state, metrics
 
     return jax.jit(

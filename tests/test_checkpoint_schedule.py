@@ -1,0 +1,67 @@
+"""Checkpoint round-trip and reduce-on-plateau tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ground_plane_polling_tpu.models import build_detector
+from ground_plane_polling_tpu.training.checkpoint import (
+    export_params, import_params, latest_checkpoint, restore_checkpoint,
+    save_checkpoint)
+from ground_plane_polling_tpu.training.schedule import ReduceLROnPlateau
+from ground_plane_polling_tpu.training.train import (
+    create_train_state, make_optimizer)
+
+
+def _state():
+    model = build_detector("resnet50")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+    tx = make_optimizer()
+    return variables, create_train_state(variables, tx, learning_rate=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    variables, state = _state()
+    state = state._replace(step=jnp.asarray(7, jnp.int32))
+    path = save_checkpoint(str(tmp_path / "ckpt"), state)
+    assert latest_checkpoint(str(tmp_path / "ckpt")) == path
+
+    restored = restore_checkpoint(path, state)
+    assert int(restored.step) == 7
+    np.testing.assert_allclose(float(restored.lr), 1e-5, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_import_params(tmp_path):
+    variables, _ = _state()
+    p = str(tmp_path / "weights.npz")
+    export_params(p, variables)
+    loaded = import_params(p)
+    for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
+                    jax.tree_util.tree_leaves(loaded["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(variables["frozen"]),
+                    jax.tree_util.tree_leaves(loaded["frozen"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reduce_lr_on_plateau():
+    _, state = _state()
+    sched = ReduceLROnPlateau(factor=0.1, patience=2)
+    # improving: no change
+    state, red = sched.update(state, 10.0)
+    assert not red
+    state, red = sched.update(state, 9.0)
+    assert not red
+    # plateau for two epochs -> reduce
+    state, red = sched.update(state, 9.2)
+    assert not red
+    state, red = sched.update(state, 9.1)
+    assert red
+    np.testing.assert_allclose(float(state.lr), 1e-6, rtol=1e-5)
+    # improvement resets
+    state, red = sched.update(state, 5.0)
+    assert not red

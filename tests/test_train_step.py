@@ -32,11 +32,12 @@ def _tiny_batch(batch=1):
 
 
 def test_loss_decreases_over_steps():
-    model = build_detector("resnet50")
+    model = build_detector("tiny")
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, *IMG, 3), jnp.float32))
-    tx = make_optimizer(learning_rate=2e-4)  # gentle lr so the descent is monotone-ish
-    state = create_train_state(variables, tx)
+    tx = make_optimizer()
+    # gentle lr so the descent is monotone-ish
+    state = create_train_state(variables, tx, learning_rate=2e-4)
     step = make_train_step(model, tx)
     batch = _tiny_batch()
     losses = []
@@ -59,7 +60,7 @@ def test_clip_per_tensor_norm():
 
 
 def test_freeze_backbone_zeroes_backbone_updates():
-    model = build_detector("resnet50")
+    model = build_detector("tiny")
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, *IMG, 3), jnp.float32))
     tx = make_optimizer(freeze_backbone=True)
@@ -84,7 +85,7 @@ def test_freeze_backbone_zeroes_backbone_updates():
 
 def test_sharded_train_step_8_devices():
     assert jax.device_count() >= 8, "conftest must provide 8 cpu devices"
-    model = build_detector("resnet50")
+    model = build_detector("tiny")
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, *IMG, 3), jnp.float32))
     tx = make_optimizer()
@@ -99,20 +100,27 @@ def test_sharded_train_step_8_devices():
 
 
 def test_sharded_matches_single_device():
-    """DP over 8 devices must equal the single-device step on the same batch."""
-    model = build_detector("resnet50")
+    """DP over 8 devices must equal the single-device step on the same batch.
+
+    Uses plain SGD (identity transform + lr scaling): Adam's step-1 update is
+    ~lr*sign(g), so float reduction-order noise near g=0 flips signs and
+    makes a bitwise comparison meaningless.
+    """
+    import optax
+
+    model = build_detector("tiny")
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, *IMG, 3), jnp.float32))
-    tx = make_optimizer(learning_rate=1e-3)
+    tx = optax.identity()
     batch = _tiny_batch(batch=8)
 
-    s1 = create_train_state(variables, tx)
+    s1 = create_train_state(variables, tx, learning_rate=1e-3)
     step1 = make_train_step(model, tx)
     s1, m1 = step1(s1, batch)
 
     variables2 = model.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, *IMG, 3), jnp.float32))
-    s2 = create_train_state(variables2, tx)
+    s2 = create_train_state(variables2, tx, learning_rate=1e-3)
     mesh = data_parallel_mesh(8)
     with mesh:
         step8 = make_sharded_train_step(model, tx, mesh)
