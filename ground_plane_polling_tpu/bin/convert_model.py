@@ -1,0 +1,72 @@
+"""Convert a training checkpoint into a distributable inference artifact —
+the reference's retinanet-3D-convert-model
+(/root/reference/keras_retinanet_3D/bin/convert_model.py).
+
+The reference bakes NMS/filter flags into a serialized graph; here the
+artifact is an .npz of (params + frozen BN stats) plus a JSON sidecar with
+the model/filter configuration that run_network uses to rebuild the jitted
+pipeline.
+
+  python -m ground_plane_polling_tpu.bin.convert_model \
+      snapshots/step_00001234 model_out.npz --backbone resnet50 --no-nms
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="Export inference weights.")
+    p.add_argument("checkpoint", help="Training checkpoint path (orbax dir) "
+                                      "or an .npz weight file.")
+    p.add_argument("model_out", help="Output .npz path.")
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--num-classes", type=int, default=1)
+    p.add_argument("--no-nms", dest="nms", action="store_false")
+    p.add_argument("--class-specific-filter", action="store_true",
+                   default=True)
+    p.add_argument("--no-class-specific-filter", dest="class_specific_filter",
+                   action="store_false")
+    p.add_argument("--orientation-specific-filter", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import build_detector
+    from ..training.checkpoint import (export_params, import_params,
+                                       restore_checkpoint)
+    from ..training.train import create_train_state, make_optimizer
+
+    if args.checkpoint.endswith(".npz"):
+        variables = import_params(args.checkpoint)
+    else:
+        model = build_detector(args.backbone, num_classes=args.num_classes)
+        template_vars = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+        template = create_train_state(template_vars, make_optimizer())
+        state = restore_checkpoint(args.checkpoint, template)
+        variables = {"params": state.params, "frozen": state.frozen}
+
+    export_params(args.model_out, variables)
+    config = {
+        "backbone": args.backbone,
+        "num_classes": args.num_classes,
+        "nms": args.nms,
+        "class_specific_filter": args.class_specific_filter,
+        "orientation_specific_filter": args.orientation_specific_filter,
+    }
+    with open(args.model_out + ".json", "w") as f:
+        json.dump(config, f, indent=2)
+    print(f"wrote {args.model_out} (+ .json config)")
+
+
+if __name__ == "__main__":
+    main()

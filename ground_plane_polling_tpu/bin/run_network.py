@@ -1,0 +1,174 @@
+"""Inference CLI — the reference's retinanet-3D-run-network
+(/root/reference/keras_retinanet_3D/bin/run_network.py): run the detector on
+a directory of images + calibrations, recover 6-DoF poses, and write .mat
+dumps, KITTI-format labels, and composite visualizations.
+
+The entire per-image pipeline (network, decode, NMS, polling, pose) runs as
+one jitted device program; the host only does file IO, resizing, and
+formatting.
+
+  python -m ground_plane_polling_tpu.bin.run_network model.npz \
+      images/ calibs/ planes.mat out/ --kitti --save-images
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(
+        description="Run the network on a directory of images.")
+    p.add_argument("model_path", help=".npz weights (with .json sidecar)")
+    p.add_argument("image_dir")
+    p.add_argument("calib_dir")
+    p.add_argument("plane_params_path", help=".mat road-plane database")
+    p.add_argument("output_dir")
+    p.add_argument("--kitti", action="store_true",
+                   help="Write KITTI-format result txts.")
+    p.add_argument("--save-images", action="store_true",
+                   help="Write composite 2D/3D visualization images.")
+    p.add_argument("--backbone", default=None,
+                   help="Override the sidecar's backbone name.")
+    p.add_argument("--score-threshold", type=float, default=0.05)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    import jax.numpy as jnp
+    import scipy.io
+
+    from ..data.kitti import preprocess_image, read_image_bgr, resize_scale
+    from ..data.label_prep import read_calibration
+    from ..data.pipeline import _resize_image
+    from ..data.planes import load_plane_database
+    from ..inference import make_detect_fn
+    from ..models import build_detector
+    from ..training.checkpoint import import_params
+    from ..utils.kitti_writer import write_kitti_file
+    from ..utils.visualization import (draw_3d_detections_from_pose,
+                                       draw_detections_with_keypoints)
+
+    cfg = {}
+    if os.path.exists(args.model_path + ".json"):
+        with open(args.model_path + ".json") as f:
+            cfg = json.load(f)
+    backbone = args.backbone or cfg.get("backbone", "resnet50")
+    num_classes = cfg.get("num_classes", 1)
+
+    variables = import_params(args.model_path)
+    model = build_detector(
+        backbone, num_classes=num_classes,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    planes = load_plane_database(args.plane_params_path)
+
+    out_root = os.path.join(
+        args.output_dir,
+        os.path.basename(args.model_path).rsplit(".", 1)[0])
+    os.makedirs(os.path.join(out_root, "outputs", "full"), exist_ok=True)
+    if args.kitti:
+        os.makedirs(os.path.join(out_root, "outputs", "kitti"), exist_ok=True)
+    if args.save_images:
+        os.makedirs(os.path.join(out_root, "images", "composite"),
+                    exist_ok=True)
+
+    detect_fns = {}
+
+    def get_fn(shape):
+        if shape not in detect_fns:
+            detect_fns[shape] = make_detect_fn(
+                model, shape, num_classes=num_classes, with_pose=True,
+                nms=cfg.get("nms", True),
+                class_specific=cfg.get("class_specific_filter", True),
+                orientation_specific=cfg.get("orientation_specific_filter",
+                                             False))
+        return detect_fns[shape]
+
+    calib_files = sorted(f for f in os.listdir(args.calib_dir)
+                         if f.endswith(".txt"))
+    for j, fn in enumerate(calib_files):
+        image_fp = None
+        for ext in (".png", ".jpg"):
+            cand = os.path.join(args.image_dir, fn.replace(".txt", ext))
+            if os.path.exists(cand):
+                image_fp = cand
+                break
+        if image_fp is None:
+            continue
+
+        raw = read_image_bgr(image_fp)
+        scale = resize_scale(raw.shape[:2])
+        resized = _resize_image(raw.astype(np.float32), scale)
+        # pad to a 128-multiple static shape (few distinct shapes => few
+        # compiles; KITTI is single-resolution so usually exactly one)
+        ph = int(np.ceil(resized.shape[0] / 128)) * 128
+        pw = int(np.ceil(resized.shape[1] / 128)) * 128
+        padded = np.zeros((ph, pw, 3), np.float32)
+        padded[: resized.shape[0], : resized.shape[1]] = resized
+        image = preprocess_image(padded)
+
+        P = read_calibration(os.path.join(args.calib_dir, fn))
+        P_scaled = np.diag([scale, scale, 1.0]) @ P
+        P_inv = np.linalg.pinv(P_scaled)
+
+        fn_detect = get_fn((ph, pw))
+        t0 = time.time()
+        out = fn_detect(
+            variables, image[None],
+            jnp.asarray(P_inv[None], jnp.float32),
+            jnp.asarray(planes[None], jnp.float32))
+        out = {k: np.asarray(v) for k, v in out._asdict().items()}
+        print(f"Image {j}: frame rate: {1.0 / (time.time() - t0):.2f}")
+
+        keep = out["scores"][0] > args.score_threshold
+        boxes = out["boxes"][0][keep] / scale
+        scores = out["scores"][0][keep]
+        labels = out["labels"][0][keep]
+        orientations = out["orientations"][0][keep]
+        keypoints = out["keypoints"][0][keep].reshape(-1, 12)
+        keyplanes = out["keyplanes"][0][keep].reshape(-1, 4)
+        residuals = out["residuals"][0][keep]
+        locations = out["locations"][0][keep]
+        angles = out["angles"][0][keep]
+        dims = out["pose_dims"][0][keep]
+
+        stem = os.path.basename(image_fp).rsplit(".", 1)[0]
+        scipy.io.savemat(
+            os.path.join(out_root, "outputs", "full", stem + ".mat"),
+            {"boxes": boxes[:, :4], "keypoints": boxes[:, 4:],
+             "labels": labels, "scores": scores, "locations": locations,
+             "angles": angles, "dimensions": dims, "residuals": residuals,
+             "keyplanes": keyplanes, "keypoints3d": keypoints})
+
+        if args.kitti:
+            write_kitti_file(
+                os.path.join(out_root, "outputs", "kitti", stem + ".txt"),
+                boxes, scores, locations, angles, dims, raw.shape[:2])
+
+        if args.save_images:
+            from PIL import Image
+
+            top = draw_detections_with_keypoints(
+                raw.copy(), boxes, scores, labels, orientations,
+                score_threshold=0.4)
+            bottom = draw_3d_detections_from_pose(
+                raw.copy(), boxes[:, :4], orientations, residuals, scores,
+                labels, locations, angles, dims, P, score_threshold=0.4)
+            comp = np.vstack([top, bottom])
+            Image.fromarray(comp[:, :, ::-1]).save(
+                os.path.join(out_root, "images", "composite",
+                             stem + ".png"))
+
+
+if __name__ == "__main__":
+    main()

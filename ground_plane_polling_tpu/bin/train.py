@@ -1,0 +1,116 @@
+"""Training CLI — the reference's retinanet-3D-train for the kitti dataset
+(/root/reference/keras_retinanet_3D/bin/train.py), TPU-native.
+
+Example:
+  python -m ground_plane_polling_tpu.bin.train kitti /data/kitti \
+      --backbone resnet50 --batch-size 2 --epochs 50 --random-transform \
+      --snapshot-path ./snapshots --data-parallel
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="Train a GPP detector on TPU.")
+    sub = p.add_subparsers(dest="dataset_type")
+    kitti = sub.add_parser("kitti")
+    kitti.add_argument("kitti_path",
+                       help="Path to the prepared dataset (train/val dirs).")
+
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--steps", type=int, default=None,
+                   help="Steps per epoch (default: full dataset).")
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--snapshot", default=None,
+                   help="Resume from this checkpoint path.")
+    p.add_argument("--snapshot-path", default="./snapshots")
+    p.add_argument("--no-snapshots", action="store_true")
+    p.add_argument("--freeze-backbone", action="store_true")
+    p.add_argument("--random-transform", action="store_true")
+    p.add_argument("--image-min-side", type=int, default=800)
+    p.add_argument("--image-max-side", type=int, default=1333)
+    p.add_argument("--no-evaluation", action="store_true")
+    p.add_argument("--weights", default=None,
+                   help="Initialize from an exported .npz weight file.")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="Shard the batch over all visible devices.")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (params stay f32).")
+    p.add_argument("--log-path", default="training_log.jsonl")
+    p.add_argument("--compat-height-only-dim-loss", action="store_true",
+                   help="Reproduce the reference's height-only dim loss.")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    if args.dataset_type != "kitti":
+        raise SystemExit("only the kitti dataset is supported (like the "
+                         "reference's implemented subset)")
+
+    from ..data.kitti import KittiDataset
+    from ..data.pipeline import KittiLoader
+    from ..models import build_detector
+    from ..parallel import data_parallel_mesh, shard_batch
+    from ..training.checkpoint import import_params, restore_checkpoint
+    from ..training.loop import fit
+    from ..training.train import (create_train_state, make_optimizer,
+                                  make_sharded_train_step, make_train_step)
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    train_ds = KittiDataset(args.kitti_path, "train")
+    train_loader = KittiLoader(
+        train_ds, batch_size=args.batch_size,
+        image_min_side=args.image_min_side,
+        image_max_side=args.image_max_side,
+        augment=args.random_transform)
+    val_loader = None
+    if not args.no_evaluation:
+        val_ds = KittiDataset(args.kitti_path, "val")
+        val_loader = KittiLoader(
+            val_ds, batch_size=1, image_min_side=args.image_min_side,
+            image_max_side=args.image_max_side, shuffle=False)
+
+    model = build_detector(args.backbone, num_classes=train_ds.num_classes,
+                           dtype=dtype)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, *train_loader.image_shape, 3), jnp.float32))
+    if args.weights:
+        variables = {**variables, **import_params(args.weights)}
+
+    tx = make_optimizer(clipnorm=0.001, freeze_backbone=args.freeze_backbone)
+    state = create_train_state(variables, tx, learning_rate=args.lr)
+    if args.snapshot:
+        state = restore_checkpoint(args.snapshot, state)
+
+    if args.data_parallel and jax.device_count() > 1:
+        mesh = data_parallel_mesh()
+        raw_step = make_sharded_train_step(
+            model, tx, mesh, compat_height_only=args.compat_height_only_dim_loss)
+
+        def step(state, batch):
+            return raw_step(state, shard_batch(mesh, batch))
+    else:
+        step = make_train_step(
+            model, tx, compat_height_only=args.compat_height_only_dim_loss)
+
+    state = fit(
+        model, state, step, train_loader,
+        epochs=args.epochs, steps_per_epoch=args.steps,
+        val_loader=val_loader, num_classes=train_ds.num_classes,
+        checkpoint_dir=None if args.no_snapshots else args.snapshot_path,
+        log_path=args.log_path)
+    return state
+
+
+if __name__ == "__main__":
+    main()

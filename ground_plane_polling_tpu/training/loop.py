@@ -1,0 +1,118 @@
+"""High-level training orchestration: epochs, eval callback, checkpoints,
+LR plateau, metric logging.
+
+Covers the reference's fit_generator + callback stack
+(/root/reference/keras_retinanet_3D/bin/train.py:125-195,383-391 and
+callbacks/eval.py): per-epoch validation mAP (averaged over present
+class-orientation buckets) + keypoint/h/w/l L1 errors, per-epoch
+checkpoints, ReduceLROnPlateau on the train loss, and JSONL metric logging
+(the TensorBoard-equivalent artifact for this framework).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from ..inference import make_detect_fn
+from ..utils.eval import (bucket_annotations, bucket_detections,
+                          evaluate_detections)
+from .checkpoint import save_checkpoint
+from .schedule import ReduceLROnPlateau
+from .train import TrainState
+
+__all__ = ["evaluate_model", "fit"]
+
+
+def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
+                   score_threshold: float = 0.05, max_detections: int = 100,
+                   iou_threshold: float = 0.5):
+    """Full validation sweep -> (mean_ap, errors dict, per-bucket APs)."""
+    detect = make_detect_fn(model, loader.image_shape,
+                            num_classes=num_classes,
+                            score_threshold=score_threshold,
+                            max_detections=max_detections)
+    variables = {"params": state.params, "frozen": state.frozen}
+
+    detections, annotations = [], []
+    for item in loader.eval_inputs():
+        out = detect(variables, item["image"], item["P_inv"], item["planes"])
+        scale = item["scale"]
+        boxes = np.asarray(out.boxes[0]) / scale
+        detections.append(bucket_detections(
+            boxes, np.asarray(out.dims[0]), np.asarray(out.scores[0]),
+            np.asarray(out.labels[0]), np.asarray(out.orientations[0]),
+            num_classes))
+        annotations.append(bucket_annotations(
+            np.asarray(item["annotations"]) /
+            np.array([scale] * 12 + [1.0] * 5), num_classes))
+
+    aps, kp_err, h_err, w_err, l_err = evaluate_detections(
+        detections, annotations, 4 * num_classes, iou_threshold)
+    present = [ap for ap, n in aps.values() if n > 0]
+    mean_ap = float(np.mean(present)) if present else 0.0
+    errors = {"keypoint_error": kp_err, "height_error": h_err,
+              "width_error": w_err, "length_error": l_err}
+    return mean_ap, errors, aps
+
+
+def fit(model, state: TrainState, train_step: Callable, train_loader,
+        epochs: int = 50, steps_per_epoch: Optional[int] = None,
+        val_loader=None, num_classes: int = 1,
+        checkpoint_dir: Optional[str] = None,
+        log_path: Optional[str] = None,
+        lr_schedule: Optional[ReduceLROnPlateau] = None,
+        verbose: bool = True):
+    """Run the training loop; returns the final TrainState."""
+    lr_schedule = lr_schedule or ReduceLROnPlateau()
+    log_f = open(log_path, "a") if log_path else None
+
+    def log(record):
+        if log_f:
+            log_f.write(json.dumps(record) + "\n")
+            log_f.flush()
+        if verbose:
+            printable = {k: (round(v, 5) if isinstance(v, float) else v)
+                         for k, v in record.items()}
+            print(printable, flush=True)
+
+    try:
+        for epoch in range(epochs):
+            t0 = time.time()
+            losses = []
+            it = iter(train_loader.epoch())
+            step_count = steps_per_epoch or len(train_loader)
+            for _ in range(step_count):
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    it = iter(train_loader.epoch())
+                    batch = next(it)
+                state, metrics = train_step(state, batch)
+                losses.append(metrics)
+            losses = {k: float(np.mean([float(m[k]) for m in losses]))
+                      for k in losses[0]}
+            record = {"epoch": epoch, "lr": float(state.lr),
+                      "seconds": round(time.time() - t0, 2), **losses}
+
+            if val_loader is not None:
+                mean_ap, errors, _ = evaluate_model(
+                    model, state, val_loader, num_classes=num_classes)
+                record.update({"mAP": mean_ap, **errors})
+
+            state, reduced = lr_schedule.update(state, losses["loss"])
+            if reduced:
+                record["lr_reduced_to"] = float(state.lr)
+
+            if checkpoint_dir:
+                record["checkpoint"] = save_checkpoint(checkpoint_dir, state)
+            log(record)
+    finally:
+        if log_f:
+            log_f.close()
+    return state

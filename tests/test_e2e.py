@@ -1,0 +1,142 @@
+"""End-to-end tests: train a few steps on the synthetic fixture via the CLI
+code paths, convert, run inference, inspect outputs."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from .fixtures import make_synthetic_kitti
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    return make_synthetic_kitti(str(tmp_path_factory.mktemp("kitti_e2e")))
+
+
+@pytest.fixture(scope="module")
+def trained(kitti_root, tmp_path_factory):
+    """Train the tiny backbone for 2 short epochs through bin.train.main."""
+    out = tmp_path_factory.mktemp("train_out")
+    from ground_plane_polling_tpu.bin.train import main
+
+    state = main([
+        "--backbone", "tiny",
+        "--batch-size", "2",
+        "--epochs", "2",
+        "--steps", "2",
+        "--image-min-side", "128",
+        "--image-max-side", "448",
+        "--snapshot-path", str(out / "snapshots"),
+        "--log-path", str(out / "log.jsonl"),
+        "--random-transform",
+        "kitti", kitti_root,
+    ])
+    return kitti_root, str(out), state
+
+
+def test_train_cli_produces_checkpoints_and_logs(trained):
+    _, out, state = trained
+    assert int(state.step) == 4
+    snaps = os.listdir(os.path.join(out, "snapshots"))
+    assert len(snaps) == 2
+    with open(os.path.join(out, "log.jsonl")) as f:
+        records = [json.loads(l) for l in f]
+    assert len(records) == 2
+    assert {"loss", "classification", "regression", "mAP"} <= set(records[0])
+
+
+def test_convert_and_run_network(trained, tmp_path):
+    kitti_root, out, _ = trained
+    from ground_plane_polling_tpu.bin.convert_model import main as convert
+    from ground_plane_polling_tpu.bin.run_network import main as run_net
+    from ground_plane_polling_tpu.training.checkpoint import latest_checkpoint
+
+    ckpt = latest_checkpoint(os.path.join(out, "snapshots"))
+    weights = str(tmp_path / "model.npz")
+    convert([ckpt, weights, "--backbone", "tiny"])
+    assert os.path.exists(weights)
+    cfg = json.load(open(weights + ".json"))
+    assert cfg["backbone"] == "tiny" and cfg["nms"] is True
+
+    out_dir = str(tmp_path / "results")
+    run_net([
+        weights,
+        os.path.join(kitti_root, "val", "images"),
+        os.path.join(kitti_root, "val", "calibs"),
+        os.path.join(kitti_root, "road_planes_database.mat"),
+        out_dir,
+        "--kitti", "--save-images", "--no-bf16",
+    ])
+    root = os.path.join(out_dir, "model")
+    full = os.listdir(os.path.join(root, "outputs", "full"))
+    assert len(full) == 1 and full[0].endswith(".mat")
+    kitti_out = os.listdir(os.path.join(root, "outputs", "kitti"))
+    assert len(kitti_out) == 1
+    # composite image written and stacked 2x height
+    comps = os.listdir(os.path.join(root, "images", "composite"))
+    assert len(comps) == 1
+    import scipy.io
+
+    mat = scipy.io.loadmat(
+        os.path.join(root, "outputs", "full", full[0]))
+    for key in ["boxes", "keypoints", "scores", "locations", "angles",
+                "dimensions", "residuals"]:
+        assert key in mat
+
+
+def test_debug_cli(trained, tmp_path):
+    kitti_root, _, _ = trained
+    from ground_plane_polling_tpu.bin.debug import main as debug
+
+    out = str(tmp_path / "dbg")
+    debug(["--out", out, "--limit", "1", "--anchors", "kitti", kitti_root])
+    files = os.listdir(out)
+    assert len(files) == 1 and files[0].endswith(".png")
+
+
+def test_prepare_data_cli(tmp_path):
+    """Exercise label-prep + split end-to-end with a fabricated devkit."""
+    from ground_plane_polling_tpu.bin.prepare_data import main as prep
+    from .fixtures import P2, _calib_text, _raw_label
+
+    raw = tmp_path / "raw"
+    for d in ["label_2", "calib", "image_2", "devkit/mapping"]:
+        os.makedirs(raw / d, exist_ok=True)
+
+    from PIL import Image
+
+    n = 4
+    mapping_lines = []
+    rand = []
+    for i in range(n):
+        name = f"{i:06d}"
+        with open(raw / "label_2" / f"{name}.txt", "w") as f:
+            f.write(_raw_label("Car", 0.4, (10, 10, 100, 100),
+                               (1.5, 1.7, 4.2), (0.0, 1.65, 10.0), 0.5) + "\n")
+        with open(raw / "calib" / f"{name}.txt", "w") as f:
+            f.write(_calib_text())
+        Image.new("RGB", (64, 32)).save(raw / "image_2" / f"{name}.png")
+        # two drives: 0001 (val: 09_26 id<=15) and 0093 (train)
+        drive = "0001" if i % 2 == 0 else "0093"
+        mapping_lines.append(f"2011_09_26 2011_09_26_drive_{drive}_sync "
+                             f"{i:010d}")
+        rand.append(str(i + 1))
+    with open(raw / "devkit/mapping/train_mapping.txt", "w") as f:
+        f.write("\n".join(mapping_lines) + "\n")
+    with open(raw / "devkit/mapping/train_rand.txt", "w") as f:
+        f.write(",".join(rand))
+
+    out = str(tmp_path / "prepared")
+    prep(["--label-dir", str(raw / "label_2"),
+          "--calib-dir", str(raw / "calib"),
+          "--image-dir", str(raw / "image_2"),
+          "--devkit-dir", str(raw / "devkit"),
+          "--output-dir", out])
+    assert len(os.listdir(os.path.join(out, "val", "images"))) == 2
+    assert len(os.listdir(os.path.join(out, "train", "images"))) == 2
+    # labels are 20-field modified labels
+    lab_dir = os.path.join(out, "train", "labels")
+    row = open(os.path.join(lab_dir, os.listdir(lab_dir)[0])).readline()
+    assert len(row.split()) == 20
