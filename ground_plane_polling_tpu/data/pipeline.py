@@ -83,7 +83,8 @@ class KittiLoader:
                  pad_multiple: int = 128, max_annotations: int = 32,
                  max_ignore: int = 8, augment: bool = False,
                  augment_config: AugmentConfig = AugmentConfig(),
-                 seed: int = 0, shuffle: bool = True):
+                 seed: int = 0, shuffle: bool = True,
+                 use_native_loader: bool = True):
         self.ds = dataset
         self.batch_size = batch_size
         self.min_side = image_min_side
@@ -95,6 +96,14 @@ class KittiLoader:
         self.shuffle = shuffle
         self._rng = np.random.RandomState(seed)
         self._key = jax.random.PRNGKey(seed)
+
+        # native C++ decode/resize/pad (off-GIL thread pool); PIL fallback
+        self._native = None
+        if use_native_loader:
+            from . import native_loader
+
+            if native_loader.available():
+                self._native = native_loader.NativeImageLoader()
 
         # one static padded shape for the whole dataset
         hw = self._first_image_hw()
@@ -121,14 +130,20 @@ class KittiLoader:
         return len(self._groups)
 
     def _load_padded(self, idx: int):
-        image = self.ds.load_image(idx).astype(np.float32)
         anns, ignores = self.ds.load_annotations(idx)
-        scale = resize_scale(image.shape[:2], self.min_side, self.max_side)
-        image = _resize_image(image, scale)
-
-        h, w = self.image_shape
-        padded = np.zeros((h, w, 3), np.float32)
-        padded[: image.shape[0], : image.shape[1]] = image[:h, :w]
+        if self._native is not None:
+            src_hw = self._native.image_size(self.ds.image_paths[idx])
+            scale = resize_scale(src_hw, self.min_side, self.max_side)
+            padded = self._native.load_image(
+                self.ds.image_paths[idx], self.image_shape, scale)
+        else:
+            image = self.ds.load_image(idx).astype(np.float32)
+            scale = resize_scale(image.shape[:2], self.min_side,
+                                 self.max_side)
+            image = _resize_image(image, scale)
+            h, w = self.image_shape
+            padded = np.zeros((h, w, 3), np.float32)
+            padded[: image.shape[0], : image.shape[1]] = image[:h, :w]
 
         ga = np.zeros((self.max_annotations, 17), np.float32)
         gm = np.zeros(self.max_annotations, bool)

@@ -76,13 +76,21 @@ def make_detect_fn(
     max_detections: int = 100,
     nms_threshold: float = 0.5,
     pre_nms_top_k: int = 1024,
+    use_pallas_polling: bool = False,
 ):
     """Build the jitted detect function for a static padded image shape.
 
     Returned signature: detect(variables, images (B,H,W,3),
     P_inv (B,4,3), planes (B,P,4)) -> DetectionOutput.
+
+    use_pallas_polling selects the VMEM-streaming Pallas kernel for the
+    plane-polling stage (numerically identical; wins on large plane DBs).
     """
     anchors = jnp.asarray(anchor_ops.anchors_for_shape(image_shape))
+    if use_pallas_polling:
+        from .kernels.polling_pallas import fit_road_planes_pallas as poll_fn
+    else:
+        poll_fn = fit_road_planes
 
     @jax.jit
     def detect(variables, images, P_inv, planes) -> DetectionOutput:
@@ -99,7 +107,7 @@ def make_detect_fn(
             nms_threshold=nms_threshold,
             pre_nms_top_k=pre_nms_top_k,
         )
-        poll = fit_road_planes(
+        poll = poll_fn(
             det.boxes, det.dims, det.orientations, P_inv, planes)
         out = DetectionOutput(
             boxes=det.boxes, dims=det.dims, scores=det.scores,

@@ -50,8 +50,9 @@ def prior_prob_bias_init(probability: float = 0.01):
     the overwhelmingly-background anchor set
     (reference initializers.py:23-39).
     """
+    import math
 
-    value = -jnp.log((1.0 - probability) / probability)
+    value = -math.log((1.0 - probability) / probability)
 
     def init(key, shape, dtype=jnp.float32):
         del key

@@ -29,6 +29,7 @@ __all__ = [
     "decode_boxes",
     "encode_dims",
     "decode_dims",
+    "clip_boxes",
 ]
 
 # Normalization constants for the 12 regression targets
@@ -123,6 +124,20 @@ def decode_boxes(anchors, deltas, sign, mean=BOX_MEAN, std=BOX_STD):
     return jnp.stack(
         [x1, y1, x2, y2, xl, yl, xm, ym, xr, yr, xt, yt], axis=-1
     )
+
+
+def clip_boxes(boxes, image_hw):
+    """Clip the leading 4 box coords to the image (reference ClipBoxes layer,
+    layers/_misc.py:202-218). Extra trailing columns pass through."""
+    h, w = image_hw
+    x1 = jnp.clip(boxes[..., 0], 0.0, w)
+    y1 = jnp.clip(boxes[..., 1], 0.0, h)
+    x2 = jnp.clip(boxes[..., 2], 0.0, w)
+    y2 = jnp.clip(boxes[..., 3], 0.0, h)
+    clipped = jnp.stack([x1, y1, x2, y2], axis=-1)
+    if boxes.shape[-1] > 4:
+        return jnp.concatenate([clipped, boxes[..., 4:]], axis=-1)
+    return clipped
 
 
 def encode_dims(dims, mean=DIM_MEAN, std=DIM_STD):

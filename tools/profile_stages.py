@@ -1,5 +1,9 @@
 """Stage-by-stage timing of the inference pipeline on the real chip."""
 
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import time
 
 import jax
@@ -48,14 +52,6 @@ def main():
     print(f"model forward:           {t_fwd*1e3:8.2f} ms")
 
     @jax.jit
-    def fwd_decode(v, im):
-        raw = model.apply(v, im)
-        return decode_predictions(raw, anchors, 1)
-
-    t_dec = bench(fwd_decode, variables, images)
-    print(f"+ decode:                {t_dec*1e3:8.2f} ms")
-
-    @jax.jit
     def fwd_filter(v, im):
         raw = model.apply(v, im)
         boxes, dims = decode_predictions(raw, anchors, 1)
@@ -63,12 +59,12 @@ def main():
                                        num_classes=1)
 
     t_fil = bench(fwd_filter, variables, images)
-    print(f"+ filter/NMS:            {t_fil*1e3:8.2f} ms")
+    print(f"+ decode + filter/NMS:   {t_fil*1e3:8.2f} ms")
 
     full = make_detect_fn(model, IMAGE_SHAPE, num_classes=1, with_pose=True)
     t_full = bench(full, variables, images, P_inv, planes)
     print(f"full (+polling +pose):   {t_full*1e3:8.2f} ms")
-    print(f"=> filter/NMS cost: {(t_fil-t_dec)*1e3:.2f} ms; "
+    print(f"=> decode+filter/NMS cost: {(t_fil-t_fwd)*1e3:.2f} ms; "
           f"polling+pose cost: {(t_full-t_fil)*1e3:.2f} ms; "
           f"throughput {1.0/t_full:.1f} img/s")
 
