@@ -76,6 +76,7 @@ def make_detect_fn(
     max_detections: int = 100,
     nms_threshold: float = 0.5,
     pre_nms_top_k: int = 1024,
+    approx_top_k: bool = False,
     use_pallas_polling: bool = False,
 ):
     """Build the jitted detect function for a static padded image shape.
@@ -106,6 +107,7 @@ def make_detect_fn(
             max_detections=max_detections,
             nms_threshold=nms_threshold,
             pre_nms_top_k=pre_nms_top_k,
+            approx_top_k=approx_top_k,
         )
         poll = poll_fn(
             det.boxes, det.dims, det.orientations, P_inv, planes)
