@@ -30,7 +30,8 @@ def parse_args(argv):
                    help="Steps per epoch (default: full dataset).")
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--snapshot", default=None,
-                   help="Resume from this checkpoint path.")
+                   help="Resume from this checkpoint path, or 'auto' to "
+                        "pick the latest under --snapshot-path.")
     p.add_argument("--snapshot-path", default="./snapshots")
     p.add_argument("--no-snapshots", action="store_true")
     p.add_argument("--freeze-backbone", action="store_true")
@@ -59,8 +60,11 @@ def main(argv=None):
     from ..data.kitti import KittiDataset
     from ..data.pipeline import KittiLoader
     from ..models import build_detector
-    from ..parallel import data_parallel_mesh, shard_batch
-    from ..training.checkpoint import import_params, restore_checkpoint
+    from ..parallel import data_parallel_mesh, initialize, shard_batch
+    from ..training.checkpoint import (import_params, latest_checkpoint,
+                                       restore_checkpoint)
+
+    initialize()  # multi-host no-op on a single host
     from ..training.loop import fit
     from ..training.train import (create_train_state, make_optimizer,
                                   make_sharded_train_step, make_train_step)
@@ -89,7 +93,12 @@ def main(argv=None):
 
     tx = make_optimizer(clipnorm=0.001, freeze_backbone=args.freeze_backbone)
     state = create_train_state(variables, tx, learning_rate=args.lr)
-    if args.snapshot:
+    if args.snapshot == "auto":
+        latest = latest_checkpoint(args.snapshot_path)
+        if latest:
+            print(f"resuming from {latest}")
+            state = restore_checkpoint(latest, state)
+    elif args.snapshot:
         state = restore_checkpoint(args.snapshot, state)
 
     if args.data_parallel and jax.device_count() > 1:

@@ -4,3 +4,4 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
+from .distributed import initialize, is_multi_host, local_batch_slice

@@ -1,0 +1,52 @@
+"""Multi-host initialization for data-parallel training.
+
+The reference tops out at single-host multi-GPU (keras multi_gpu_model,
+bin/train.py:100-104). The TPU-native scale-out path is SPMD over all hosts'
+devices: call `initialize()` once per host process before any jax use, and
+the same mesh/jit code from parallel.mesh spans the full slice — XLA routes
+the gradient all-reduce over ICI within a pod and DCN across pods.
+
+On a single host this is a no-op, so training code can call it
+unconditionally.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+__all__ = ["initialize", "is_multi_host", "local_batch_slice"]
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """jax.distributed.initialize with env-var fallbacks
+    (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID); no-op when unset
+    or single-process."""
+    coordinator_address = coordinator_address or os.environ.get(
+        "COORDINATOR_ADDRESS")
+    if coordinator_address is None:
+        return  # single host
+    num_processes = num_processes or int(os.environ.get("NUM_PROCESSES", 1))
+    process_id = process_id if process_id is not None else int(
+        os.environ.get("PROCESS_ID", 0))
+    if num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def is_multi_host() -> bool:
+    return jax.process_count() > 1
+
+
+def local_batch_slice(global_batch: int):
+    """(start, size) of this host's shard of a globally-sharded batch."""
+    per_host = global_batch // jax.process_count()
+    return jax.process_index() * per_host, per_host
