@@ -148,6 +148,13 @@ class GPPDetector:
         self.variables = self.model.init(rng, x)
         return self.variables
 
+    def load(self, weights_path: str):
+        """Load exported .npz inference weights (convert-model artifact)."""
+        from .training.checkpoint import import_params
+
+        self.variables = import_params(weights_path)
+        return self.variables
+
     def __call__(self, images, P_inv, planes, with_pose: bool = False):
         if self.variables is None:
             raise RuntimeError("call .init() or load weights first")

@@ -63,7 +63,7 @@ class DenseNetBackbone(nn.Module):
                     FrozenBatchNorm(dtype=self.dtype, name=f"trans{b + 1}_bn")(x))
                 x = nn.Conv(x.shape[-1] // 2, (1, 1), use_bias=False,
                             dtype=self.dtype, name=f"trans{b + 1}_conv")(x)
-                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2), padding="SAME")
         return feats[1], feats[2], feats[3]
 
 

@@ -31,7 +31,7 @@ class VGGBackbone(nn.Module):
                 x = nn.Conv(w, (3, 3), padding="SAME", dtype=self.dtype,
                             name=f"block{b + 1}_conv{i + 1}")(x)
                 x = nn.relu(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
             feats.append(x)
         # pool3 (stride 8), pool4 (stride 16), pool5 (stride 32)
         return feats[2], feats[3], feats[4]

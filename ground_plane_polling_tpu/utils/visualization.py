@@ -143,6 +143,47 @@ def draw_3d_detections_from_pose(image, boxes2d, orientations, residuals,
     return _from_pil(pil)
 
 
+def draw_3d_detections(image, boxes2d, keypoints3d, residuals, scores,
+                       labels, orientations, P, score_threshold=0.4,
+                       label_to_name=None):
+    """3D wireframes reconstructed directly from the 4 polled 3D keypoints
+    (the reference's draw_3d_detections, utils/visualization.py:152-278).
+
+    X_l, X_m, X_r are three bottom corners (the fourth is the
+    parallelogram completion X_l + X_r - X_m) and X_t sits above X_m, so
+    the vertical edge vector is X_t - X_m.
+    """
+    from PIL import ImageDraw
+
+    pil = _to_pil(image)
+    draw = ImageDraw.Draw(pil)
+    kp = np.asarray(keypoints3d).reshape(-1, 4, 3)
+    for i in range(len(scores)):
+        if scores[i] < score_threshold:
+            continue
+        X_l, X_m, X_r, X_t = kp[i]
+        bottom = np.stack([X_m, X_l, X_l + X_r - X_m, X_r])
+        up = X_t - X_m
+        corners = np.concatenate([bottom, bottom + up], axis=0).T  # (3, 8)
+        if (corners[2] < 0.1).any():
+            continue
+        hom = P @ np.vstack([corners, np.ones((1, 8))])
+        pts = (hom[:2] / hom[2:3]).T
+
+        color = ORIENTATION_COLORS[int(orientations[i]) % 4]
+        depth = corners[2]
+        far = depth > np.median(depth)
+        for a, b in _EDGES_BOTTOM + _EDGES_TOP + _EDGES_VERT:
+            if far[a] and far[b]:
+                draw_dashed_line(draw, pts[a], pts[b], color, thickness=1)
+            else:
+                draw.line([tuple(pts[a]), tuple(pts[b])], fill=_rgb(color),
+                          width=2)
+        draw_caption(draw, [pts[:, 0].min(), pts[:, 1].min(), 0, 0],
+                     f"r={float(residuals[i]):.2f}", color)
+    return _from_pil(pil)
+
+
 def draw_annotations_with_keypoints(image, annotations, label_to_name=None):
     """Ground-truth boxes + keypoints, coloured by orientation class."""
     from PIL import ImageDraw

@@ -103,6 +103,15 @@ def test_iou_oracle(rng):
             assert abs(got[i, j] - want) < 1e-5
 
 
+def test_clip_boxes():
+    boxes = np.array([[-5.0, -3.0, 500.0, 400.0, 7.0, 7.0, 7.0, 7.0, 7.0,
+                       7.0, 7.0, 7.0]])
+    out = np.asarray(bc.clip_boxes(boxes, (370, 1224)))
+    np.testing.assert_allclose(out[0, :4], [0.0, 0.0, 500.0, 370.0])
+    # keypoint columns pass through untouched
+    np.testing.assert_allclose(out[0, 4:], 7.0)
+
+
 def test_iou_degenerate_no_nan():
     z = np.zeros((3, 4))
     got = np.asarray(iou_matrix(z, z))

@@ -145,3 +145,13 @@ def test_visualization_smoke(rng):
     labels8[0, 5] = 1
     out_anchor = vis.draw_anchors(img, anchors, labels8)
     assert (out_anchor != img).any()
+
+    # 3D wireframe from raw polled keypoints (no pose needed)
+    X_m = np.array([0.5, 1.65, 10.0])
+    kp3 = np.stack([X_m - [0, 0, 1.7], X_m, X_m - [4.2, 0, 0],
+                    X_m - [0, 1.5, 0]])
+    out_kp3 = vis.draw_3d_detections(
+        img, boxes[:, :4], kp3[None], np.array([0.05]), np.array([0.9]),
+        np.array([0]), np.array([1]),
+        P=np.array([[200.0, 0, 128, 0], [0, 200.0, 64, 0], [0, 0, 1, 0]]))
+    assert (out_kp3 != img).any()

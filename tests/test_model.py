@@ -67,6 +67,17 @@ def test_alt_backbones_forward(name):
     assert np.isfinite(np.asarray(out["regression"])).all()
 
 
+@pytest.mark.parametrize("name", ["vgg16", "densenet121", "mobilenet224_1.0",
+                                  "resnet50"])
+def test_head_count_matches_anchor_grid_odd_size(name):
+    """Pooling must ceil-divide like the anchor grid (the reference needed
+    per-backbone shape callbacks for this, utils/anchors.py:104-137; here
+    SAME-padded pooling keeps every backbone on the ceil-div convention)."""
+    img = (72, 104)  # not a multiple of 32
+    _, out = _init_and_run(name, img=img)
+    assert out["regression"].shape[1] == A.num_anchors_for_shape(img)
+
+
 def test_jit_forward_consistency():
     model = build_detector("resnet50")
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))

@@ -1,0 +1,55 @@
+"""Training-step throughput on the real chip (BASELINE config 4: batch 2,
+random-transform augmentation, focal + box/keypoint + dim losses)."""
+
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ground_plane_polling_tpu.models import build_detector
+from ground_plane_polling_tpu.ops import anchors as anchor_ops
+from ground_plane_polling_tpu.training.train import (
+    create_train_state, make_optimizer, make_train_step)
+
+IMAGE_SHAPE = (512, 1408)
+BATCH = 2
+STEPS = 10
+
+
+def main():
+    rng = np.random.RandomState(0)
+    n = anchor_ops.num_anchors_for_shape(IMAGE_SHAPE)
+    model = build_detector("resnet50", num_classes=1, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, *IMAGE_SHAPE, 3), jnp.float32))
+    tx = make_optimizer()
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx)
+
+    batch = {
+        "image": jnp.asarray(
+            rng.uniform(-128, 128, (BATCH, *IMAGE_SHAPE, 3)), jnp.float32),
+        "labels": jnp.zeros((BATCH, n, 8), jnp.float32),
+        "regression": jnp.zeros((BATCH, n, 13), jnp.float32),
+        "regression_dim": jnp.zeros((BATCH, n, 4), jnp.float32),
+    }
+
+    state, m = step(state, batch)  # compile
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / STEPS
+    print(f"train step: {dt*1e3:.1f} ms -> {BATCH/dt:.2f} images/sec "
+          f"(batch {BATCH}, {IMAGE_SHAPE})")
+
+
+if __name__ == "__main__":
+    main()
