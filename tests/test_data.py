@@ -73,10 +73,12 @@ def test_dataset_parses_fixture(kitti_root):
     assert ds.planes.shape == (10, 4)
 
 
-def test_loader_train_batch(kitti_root):
+@pytest.mark.parametrize("native", [True, False])
+def test_loader_train_batch(kitti_root, native):
     ds = KittiDataset(kitti_root, "train")
     loader = KittiLoader(ds, batch_size=2, image_min_side=128,
-                         image_max_side=448, pad_multiple=64)
+                         image_max_side=448, pad_multiple=64,
+                         use_native_loader=native)
     batch = next(iter(loader.epoch()))
     b, h, w, _ = batch["image"].shape
     assert b == 2 and h % 64 == 0 and w % 64 == 0
