@@ -96,6 +96,29 @@ def test_debug_cli(trained, tmp_path):
     assert len(files) == 1 and files[0].endswith(".png")
 
 
+def test_train_cli_data_parallel(kitti_root, tmp_path):
+    """--data-parallel over the 8 virtual CPU devices through the CLI."""
+    import jax
+
+    assert jax.device_count() >= 8
+    from ground_plane_polling_tpu.bin.train import main
+
+    state = main([
+        "--backbone", "tiny",
+        "--batch-size", "8",
+        "--epochs", "1",
+        "--steps", "1",
+        "--image-min-side", "128",
+        "--image-max-side", "448",
+        "--no-snapshots",
+        "--no-evaluation",
+        "--data-parallel",
+        "--log-path", str(tmp_path / "log.jsonl"),
+        "kitti", kitti_root,
+    ])
+    assert int(state.step) == 1
+
+
 def test_prepare_data_cli(tmp_path):
     """Exercise label-prep + split end-to-end with a fabricated devkit."""
     from ground_plane_polling_tpu.bin.prepare_data import main as prep

@@ -51,12 +51,11 @@ def main():
 
     cases = [
         ("baseline b1 p1024", dict(batch=1, planes=1024), {}),
-        ("approx_topk b1 p1024", dict(batch=1, planes=1024),
-         dict(approx_top_k=True)),
-        ("22k planes jnp b1", dict(batch=1, planes=21634), {}),
-        ("22k planes pallas b1", dict(batch=1, planes=21634),
-         dict(use_pallas_polling=True)),
-        ("batch4 p1024", dict(batch=4, planes=1024), {}),
+        ("pre_nms_512 b1", dict(batch=1, planes=1024),
+         dict(pre_nms_top_k=512)),
+        ("pre_nms_256 b1", dict(batch=1, planes=1024),
+         dict(pre_nms_top_k=256)),
+        ("batch8 p1024", dict(batch=8, planes=1024), {}),
     ]
     for name, cfg, kw in cases:
         fn = make_detect_fn(model, IMAGE_SHAPE, num_classes=1,
