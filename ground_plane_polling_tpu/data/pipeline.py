@@ -162,22 +162,56 @@ class KittiLoader:
             im_[:m] = True
         return padded, ga, gm, ia, im_, scale
 
-    def epoch(self) -> Iterator[dict]:
-        """Yield training batches for one epoch."""
+    def _make_batch(self, group):
+        items = [self._load_padded(i) for i in group]
+        images, ga, gm, ia, im_, _ = map(np.stack, zip(*items))
+        self._key, sub = jax.random.split(self._key)
+        return _device_prepare(
+            sub, images, ga, gm, ia, im_,
+            num_classes=self.ds.num_classes,
+            do_augment=self.augment,
+            config=self.augment_config,
+            image_shape=self.image_shape,
+        )
+
+    def epoch(self, prefetch: int = 2) -> Iterator[dict]:
+        """Yield training batches for one epoch.
+
+        Host IO (decode/resize in the native loader) for the next `prefetch`
+        batches overlaps the device step on a background thread — the TPU
+        never waits on disk (the reference used Keras' multi-worker
+        fit_generator threading for the same purpose).
+        """
         groups = list(self._groups)
         if self.shuffle:
             self._rng.shuffle(groups)
-        for group in groups:
-            items = [self._load_padded(i) for i in group]
-            images, ga, gm, ia, im_, _ = map(np.stack, zip(*items))
-            self._key, sub = jax.random.split(self._key)
-            yield _device_prepare(
-                sub, images, ga, gm, ia, im_,
-                num_classes=self.ds.num_classes,
-                do_augment=self.augment,
-                config=self.augment_config,
-                image_shape=self.image_shape,
-            )
+
+        if prefetch <= 0:
+            for group in groups:
+                yield self._make_batch(group)
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for group in groups:
+                    q.put(self._make_batch(group))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()
 
     def eval_inputs(self) -> Iterator[dict]:
         """Yield per-image inference inputs (batch 1, like the reference's

@@ -76,6 +76,25 @@ def _keypoint_glyphs(draw, kp, color):
     draw.line([(xt, yt - r), (xt, yt + r)], fill=_rgb(color), width=2)
 
 
+def draw_detections(image, boxes, scores, labels, orientations,
+                    score_threshold=0.4, label_to_name=None):
+    """Plain 2D detection boxes + captions (reference
+    utils/visualization.py:65-86), coloured by orientation."""
+    from PIL import ImageDraw
+
+    pil = _to_pil(image)
+    draw = ImageDraw.Draw(pil)
+    for i in range(len(scores)):
+        if scores[i] < score_threshold:
+            continue
+        color = ORIENTATION_COLORS[int(orientations[i]) % 4]
+        draw_box(draw, boxes[i, :4], color)
+        name = (label_to_name(int(labels[i])) if label_to_name
+                else str(int(labels[i])))
+        draw_caption(draw, boxes[i, :4], f"{name} {scores[i]:.2f}", color)
+    return _from_pil(pil)
+
+
 def draw_detections_with_keypoints(image, boxes, scores, labels, orientations,
                                    score_threshold=0.4, label_to_name=None):
     """2D boxes coloured by orientation + keypoint glyphs + score captions."""

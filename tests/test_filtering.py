@@ -121,6 +121,18 @@ def test_orientation_specific_mode(rng):
     assert (np.diff(s[v]) <= 1e-6).all()
 
 
+def test_orientation_specific_class_agnostic(rng):
+    """4th mode: per-orientation filtering with argmax class selection."""
+    boxes, dims, cls = _make_inputs(rng, n=60, c=2)
+    out = filter_detections(boxes, dims, cls, num_classes=2,
+                            class_specific=False,
+                            orientation_specific=True)
+    v = np.asarray(out.scores) > -1
+    assert v.any()
+    assert set(np.asarray(out.orientations)[v]) <= {0, 1, 2, 3}
+    assert set(np.asarray(out.labels)[v]) <= {0, 1}
+
+
 def test_batch_vmap(rng):
     boxes, dims, cls = _make_inputs(rng, n=60)
     out_b = filter_detections_batch(
