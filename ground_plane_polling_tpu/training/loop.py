@@ -67,8 +67,14 @@ def fit(model, state: TrainState, train_step: Callable, train_loader,
         checkpoint_dir: Optional[str] = None,
         log_path: Optional[str] = None,
         lr_schedule: Optional[ReduceLROnPlateau] = None,
-        verbose: bool = True):
-    """Run the training loop; returns the final TrainState."""
+        verbose: bool = True,
+        nan_guard: bool = True):
+    """Run the training loop; returns the final TrainState.
+
+    nan_guard: failure detection — a non-finite loss aborts the run with a
+    clear error (after flushing logs) instead of silently corrupting the
+    parameters and every subsequent checkpoint.
+    """
     lr_schedule = lr_schedule or ReduceLROnPlateau()
     log_f = open(log_path, "a") if log_path else None
 
@@ -95,8 +101,16 @@ def fit(model, state: TrainState, train_step: Callable, train_loader,
                     batch = next(it)
                 state, metrics = train_step(state, batch)
                 losses.append(metrics)
-            losses = {k: float(np.mean([float(m[k]) for m in losses]))
-                      for k in losses[0]}
+            per_step = {k: [float(m[k]) for m in losses] for k in losses[0]}
+            if nan_guard and not all(np.isfinite(per_step["loss"])):
+                bad = int(np.argmax(~np.isfinite(per_step["loss"])))
+                log({"epoch": epoch, "error": "non-finite loss",
+                     "first_bad_step": bad,
+                     "loss_values": per_step["loss"]})
+                raise FloatingPointError(
+                    f"non-finite loss in epoch {epoch} (first at step "
+                    f"{bad}); aborting before checkpointing corrupt state")
+            losses = {k: float(np.mean(v)) for k, v in per_step.items()}
             record = {"epoch": epoch, "lr": float(state.lr),
                       "seconds": round(time.time() - t0, 2), **losses}
 
