@@ -4,17 +4,20 @@ Measures the north-star metric from BASELINE.md: KITTI-resolution single
 image end-to-end inference (ResNet-50 backbone, bfloat16 compute, decode +
 NMS + 1k-plane polling + pose) on one TPU chip, in images/sec.
 
+Timing protocol (important on this remote-relay setup, where
+block_until_ready returns before device completion): iterations are CHAINED
+— each call's input depends on the previous call's output — and completion
+is forced by fetching a scalar of the final output to the host. The fixed
+relay round-trip is removed by differencing two run lengths:
+  rate = (N2 - N1) / (t(N2) - t(N1)).
+
 The reference publishes no numbers; its per-image frame-rate print
 (run_network.py:108-111) on the Keras/TF-1.9 stack runs a ~5 fps-class
 pipeline on a contemporary GPU. vs_baseline is reported against 10 img/s —
-a deliberately generous estimate of the reference's end-to-end rate — so
-vs_baseline = measured / 10.0.
+a deliberately generous estimate — so vs_baseline = measured / 10.0.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-Throughput is measured pipelined (async dispatch, one final block): the
-serving path streams frames, so steady-state images/sec is the honest
-number. Env overrides: GPP_BENCH_PLANES, GPP_BENCH_BATCH, GPP_BENCH_ITERS.
+Env overrides: GPP_BENCH_PLANES, GPP_BENCH_BATCH.
 """
 
 import json
@@ -35,8 +38,19 @@ REFERENCE_FPS_ESTIMATE = 10.0
 IMAGE_SHAPE = (512, 1408)
 N_PLANES = int(os.environ.get("GPP_BENCH_PLANES", 1024))
 BATCH = int(os.environ.get("GPP_BENCH_BATCH", 1))
-WARMUP = 3
-ITERS = int(os.environ.get("GPP_BENCH_ITERS", 30))
+N1, N2 = 5, 25
+
+
+def chained_run(fn, variables, images, P_inv, planes, iters):
+    """Run `iters` dependent inference calls; returns elapsed wall time
+    including one final host fetch that forces the whole chain."""
+    carry = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(variables, images + carry, P_inv, planes)
+        carry = out.scores[0, 0] * 0.0  # tiny dependency, keeps shapes fixed
+    np.asarray(carry)  # host fetch = real completion of every iteration
+    return time.perf_counter() - t0
 
 
 def main():
@@ -64,17 +78,12 @@ def main():
     ], axis=1)
     planes = jnp.asarray(np.tile(planes[None], (BATCH, 1, 1)), jnp.float32)
 
-    for _ in range(WARMUP):
-        out = fn(variables, images, P_inv, planes)
-        jax.block_until_ready(out)
+    chained_run(fn, variables, images, P_inv, planes, 2)  # compile + warm
+    t1 = chained_run(fn, variables, images, P_inv, planes, N1)
+    t2 = chained_run(fn, variables, images, P_inv, planes, N2)
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(variables, images, P_inv, planes)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
-    images_per_sec = BATCH * ITERS / dt
+    per_iter = (t2 - t1) / (N2 - N1)
+    images_per_sec = BATCH / per_iter
     print(json.dumps({
         "metric": "gpp_resnet50_e2e_inference",
         "value": round(images_per_sec, 3),

@@ -18,8 +18,8 @@ from ground_plane_polling_tpu.training.train import (
     create_train_state, make_optimizer, make_train_step)
 
 IMAGE_SHAPE = (512, 1408)
-BATCH = 2
-STEPS = 10
+BATCH = int(os.environ.get("GPP_BENCH_BATCH", 2))
+STEPS = int(os.environ.get("GPP_BENCH_STEPS", 10))
 
 
 def main():
@@ -41,11 +41,12 @@ def main():
     }
 
     state, m = step(state, batch)  # compile
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # host fetch (block_until_ready lies on this relay)
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, m = step(state, batch)
-    jax.block_until_ready(m["loss"])
+    final = float(m["loss"])  # forces the whole donated-state chain
+    assert np.isfinite(final)
     dt = (time.perf_counter() - t0) / STEPS
     print(f"train step: {dt*1e3:.1f} ms -> {BATCH/dt:.2f} images/sec "
           f"(batch {BATCH}, {IMAGE_SHAPE})")
