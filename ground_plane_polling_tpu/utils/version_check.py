@@ -10,7 +10,11 @@ MIN_JAX = (0, 4, 30)
 def parse_version(v: str):
     parts = []
     for p in v.split(".")[:3]:
-        digits = "".join(ch for ch in p if ch.isdigit())
+        digits = ""
+        for ch in p:  # leading digits only ("0rc1" -> 0)
+            if not ch.isdigit():
+                break
+            digits += ch
         parts.append(int(digits or 0))
     return tuple(parts)
 
