@@ -27,7 +27,8 @@ import numpy as np
 from .models import build_detector
 from .ops import anchors as anchor_ops
 from .ops import box_coder
-from .ops.filtering import filter_detections_batch
+from .ops.filtering import (filter_detections_batch,
+                            filter_detections_fused_batch)
 from .ops.polling import fit_road_planes
 from .ops.pose import solve_pose
 
@@ -78,6 +79,7 @@ def make_detect_fn(
     pre_nms_top_k: int = 1024,
     approx_top_k: bool = False,
     use_pallas_polling: bool = False,
+    fused_decode: bool = True,
 ):
     """Build the jitted detect function for a static padded image shape.
 
@@ -86,6 +88,8 @@ def make_detect_fn(
 
     use_pallas_polling selects the VMEM-streaming Pallas kernel for the
     plane-polling stage (numerically identical; wins on large plane DBs).
+    fused_decode defers box/dim decoding past the pre-NMS top-k so only
+    ~1k candidates get decoded instead of every anchor (identical outputs).
     """
     anchors = jnp.asarray(anchor_ops.anchors_for_shape(image_shape))
     if use_pallas_polling:
@@ -93,22 +97,29 @@ def make_detect_fn(
     else:
         poll_fn = fit_road_planes
 
+    filter_kwargs = dict(
+        num_classes=num_classes,
+        class_specific=class_specific,
+        orientation_specific=orientation_specific,
+        nms=nms,
+        score_threshold=score_threshold,
+        max_detections=max_detections,
+        nms_threshold=nms_threshold,
+        pre_nms_top_k=pre_nms_top_k,
+        approx_top_k=approx_top_k,
+    )
+
     @jax.jit
     def detect(variables, images, P_inv, planes) -> DetectionOutput:
         raw = model.apply(variables, images)
-        boxes, dims = decode_predictions(raw, anchors, num_classes)
-        det = filter_detections_batch(
-            boxes, dims, raw["classification"],
-            num_classes=num_classes,
-            class_specific=class_specific,
-            orientation_specific=orientation_specific,
-            nms=nms,
-            score_threshold=score_threshold,
-            max_detections=max_detections,
-            nms_threshold=nms_threshold,
-            pre_nms_top_k=pre_nms_top_k,
-            approx_top_k=approx_top_k,
-        )
+        if fused_decode:
+            det = filter_detections_fused_batch(
+                anchors, raw["regression"], raw["regression_dim"],
+                raw["classification"], **filter_kwargs)
+        else:
+            boxes, dims = decode_predictions(raw, anchors, num_classes)
+            det = filter_detections_batch(
+                boxes, dims, raw["classification"], **filter_kwargs)
         poll = poll_fn(
             det.boxes, det.dims, det.orientations, P_inv, planes)
         out = DetectionOutput(
