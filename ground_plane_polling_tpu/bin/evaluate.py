@@ -1,0 +1,78 @@
+"""Standalone evaluation CLI: mAP per class-orientation bucket +
+keypoint/h/w/l L1 errors on a prepared KITTI split from exported weights.
+
+(The reference only evaluates inside the training callback,
+callbacks/eval.py; this exposes the same sweep offline.)
+
+  python -m ground_plane_polling_tpu.bin.evaluate model.npz kitti-data \
+      --subset val
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="Evaluate a GPP model.")
+    p.add_argument("model_path", help=".npz weights (with .json sidecar)")
+    p.add_argument("kitti_path")
+    p.add_argument("--subset", default="val")
+    p.add_argument("--score-threshold", type=float, default=0.05)
+    p.add_argument("--iou-threshold", type=float, default=0.5)
+    p.add_argument("--max-detections", type=int, default=100)
+    p.add_argument("--image-min-side", type=int, default=800)
+    p.add_argument("--image-max-side", type=int, default=1333)
+    p.add_argument("--backbone", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    import os
+
+    from ..data.kitti import KittiDataset
+    from ..data.pipeline import KittiLoader
+    from ..models import build_detector
+    from ..training.checkpoint import import_params
+    from ..training.loop import evaluate_model
+    from ..training.train import TrainState
+
+    import jax.numpy as jnp
+
+    cfg = {}
+    if os.path.exists(args.model_path + ".json"):
+        with open(args.model_path + ".json") as f:
+            cfg = json.load(f)
+    backbone = args.backbone or cfg.get("backbone", "resnet50")
+    num_classes = cfg.get("num_classes", 1)
+
+    ds = KittiDataset(args.kitti_path, args.subset)
+    loader = KittiLoader(ds, batch_size=1,
+                         image_min_side=args.image_min_side,
+                         image_max_side=args.image_max_side, shuffle=False)
+    model = build_detector(backbone, num_classes=num_classes)
+    variables = import_params(args.model_path)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       frozen=variables.get("frozen", {}),
+                       opt_state=None, lr=jnp.zeros(()))
+
+    mean_ap, errors, aps = evaluate_model(
+        model, state, loader, num_classes=num_classes,
+        score_threshold=args.score_threshold,
+        max_detections=args.max_detections,
+        iou_threshold=args.iou_threshold)
+
+    for bucket, (ap, n) in sorted(aps.items()):
+        print(f"bucket {bucket} (class {bucket // 4}, orient {bucket % 4}): "
+              f"AP={ap:.4f} over {int(n)} annotations")
+    print(json.dumps({"mAP": mean_ap, **errors}))
+    return mean_ap, errors
+
+
+if __name__ == "__main__":
+    main()

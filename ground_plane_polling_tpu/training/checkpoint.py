@@ -42,6 +42,20 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(os.path.abspath(ckpt_dir), steps[-1]) if steps else None
 
 
+def prune_checkpoints(ckpt_dir: str, keep: int = 5) -> int:
+    """Delete all but the newest `keep` checkpoints; returns #removed."""
+    import shutil
+
+    if not os.path.isdir(ckpt_dir):
+        return 0
+    steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    removed = 0
+    for d in steps[:-keep] if keep > 0 else []:
+        shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
+        removed += 1
+    return removed
+
+
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     """Restore into the structure of `template` (an abstract or concrete
     TrainState from create_train_state)."""

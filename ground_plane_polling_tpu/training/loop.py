@@ -22,7 +22,7 @@ import numpy as np
 from ..inference import make_detect_fn
 from ..utils.eval import (bucket_annotations, bucket_detections,
                           evaluate_detections)
-from .checkpoint import save_checkpoint
+from .checkpoint import prune_checkpoints, save_checkpoint
 from .schedule import ReduceLROnPlateau
 from .train import TrainState
 
@@ -68,7 +68,8 @@ def fit(model, state: TrainState, train_step: Callable, train_loader,
         log_path: Optional[str] = None,
         lr_schedule: Optional[ReduceLROnPlateau] = None,
         verbose: bool = True,
-        nan_guard: bool = True):
+        nan_guard: bool = True,
+        keep_checkpoints: int = 5):
     """Run the training loop; returns the final TrainState.
 
     nan_guard: failure detection — a non-finite loss aborts the run with a
@@ -125,6 +126,7 @@ def fit(model, state: TrainState, train_step: Callable, train_loader,
 
             if checkpoint_dir:
                 record["checkpoint"] = save_checkpoint(checkpoint_dir, state)
+                prune_checkpoints(checkpoint_dir, keep=keep_checkpoints)
             log(record)
     finally:
         if log_f:

@@ -17,6 +17,8 @@ setup(
             "ground_plane_polling_tpu.bin.convert_model:main",
             "gpp-tpu-run-network="
             "ground_plane_polling_tpu.bin.run_network:main",
+            "gpp-tpu-evaluate="
+            "ground_plane_polling_tpu.bin.evaluate:main",
             "gpp-tpu-prepare-data="
             "ground_plane_polling_tpu.bin.prepare_data:main",
         ],

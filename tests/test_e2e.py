@@ -86,6 +86,24 @@ def test_convert_and_run_network(trained, tmp_path):
         assert key in mat
 
 
+def test_evaluate_cli(trained, tmp_path):
+    kitti_root, out, _ = trained
+    from ground_plane_polling_tpu.bin.convert_model import main as convert
+    from ground_plane_polling_tpu.bin.evaluate import main as evaluate
+    from ground_plane_polling_tpu.training.checkpoint import latest_checkpoint
+
+    ckpt = latest_checkpoint(os.path.join(out, "snapshots"))
+    weights = str(tmp_path / "m.npz")
+    convert([ckpt, weights, "--backbone", "tiny"])
+    mean_ap, errors = evaluate([
+        weights, kitti_root, "--subset", "val",
+        "--image-min-side", "128", "--image-max-side", "448",
+    ])
+    assert 0.0 <= mean_ap <= 1.0
+    assert set(errors) == {"keypoint_error", "height_error", "width_error",
+                           "length_error"}
+
+
 def test_debug_cli(trained, tmp_path):
     kitti_root, _, _ = trained
     from ground_plane_polling_tpu.bin.debug import main as debug
