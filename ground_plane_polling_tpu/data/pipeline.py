@@ -105,25 +105,38 @@ class KittiLoader:
             if native_loader.available():
                 self._native = native_loader.NativeImageLoader()
 
-        # one static padded shape for the whole dataset
-        hw = self._first_image_hw()
-        scale = resize_scale(hw, image_min_side, image_max_side)
-        sh = int(np.ceil(hw[0] * scale / pad_multiple)) * pad_multiple
-        sw = int(np.ceil(hw[1] * scale / pad_multiple)) * pad_multiple
-        self.image_shape = (sh, sw)
+        # resolution bucketing: one static padded shape per distinct
+        # (post-resize, pad-rounded) image shape; KITTI collapses to a
+        # single bucket, mixed-resolution datasets get one XLA trace per
+        # bucket (subsumes the reference's aspect-ratio grouping,
+        # generator.py:245-256, which only bounded pad waste)
+        self._bucket_shape = {}
+        buckets = {}
+        for i in range(len(dataset)):
+            hw = self._image_hw(i)
+            scale = resize_scale(hw, image_min_side, image_max_side)
+            sh = int(np.ceil(hw[0] * scale / pad_multiple)) * pad_multiple
+            sw = int(np.ceil(hw[1] * scale / pad_multiple)) * pad_multiple
+            self._bucket_shape[i] = (sh, sw)
+            buckets.setdefault((sh, sw), []).append(i)
 
-        # aspect-ratio ordering like the reference (generator.py:245-256);
-        # with one bucket this only affects batch composition
-        order = sorted(range(len(dataset)), key=dataset.aspect_ratio)
-        self._groups = [
-            [order[i % len(order)] for i in range(s, s + batch_size)]
-            for s in range(0, len(order), batch_size)
-        ]
+        # dominant bucket shape, kept as the loader's nominal image_shape
+        self.image_shape = max(buckets, key=lambda k: len(buckets[k]))
 
-    def _first_image_hw(self):
+        self._groups = []
+        for shape, idxs in sorted(buckets.items()):
+            idxs = sorted(idxs, key=dataset.aspect_ratio)
+            for st in range(0, len(idxs), batch_size):
+                self._groups.append(
+                    [idxs[i % len(idxs)]
+                     for i in range(st, st + batch_size)])
+
+    def _image_hw(self, i):
+        if self._native is not None:
+            return self._native.image_size(self.ds.image_paths[i])
         from PIL import Image
 
-        with Image.open(self.ds.image_paths[0]) as im:
+        with Image.open(self.ds.image_paths[i]) as im:
             return (im.height, im.width)
 
     def __len__(self):
@@ -131,17 +144,18 @@ class KittiLoader:
 
     def _load_padded(self, idx: int):
         anns, ignores = self.ds.load_annotations(idx)
+        shape = self._bucket_shape[idx]
         if self._native is not None:
             src_hw = self._native.image_size(self.ds.image_paths[idx])
             scale = resize_scale(src_hw, self.min_side, self.max_side)
             padded = self._native.load_image(
-                self.ds.image_paths[idx], self.image_shape, scale)
+                self.ds.image_paths[idx], shape, scale)
         else:
             image = self.ds.load_image(idx).astype(np.float32)
             scale = resize_scale(image.shape[:2], self.min_side,
                                  self.max_side)
             image = _resize_image(image, scale)
-            h, w = self.image_shape
+            h, w = shape
             padded = np.zeros((h, w, 3), np.float32)
             padded[: image.shape[0], : image.shape[1]] = image[:h, :w]
 
@@ -171,7 +185,7 @@ class KittiLoader:
             num_classes=self.ds.num_classes,
             do_augment=self.augment,
             config=self.augment_config,
-            image_shape=self.image_shape,
+            image_shape=tuple(images.shape[1:3]),
         )
 
     def epoch(self, prefetch: int = 2) -> Iterator[dict]:

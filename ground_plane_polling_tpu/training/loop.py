@@ -33,14 +33,21 @@ def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
                    score_threshold: float = 0.05, max_detections: int = 100,
                    iou_threshold: float = 0.5):
     """Full validation sweep -> (mean_ap, errors dict, per-bucket APs)."""
-    detect = make_detect_fn(model, loader.image_shape,
-                            num_classes=num_classes,
-                            score_threshold=score_threshold,
-                            max_detections=max_detections)
+    detect_fns = {}
+
+    def get_detect(shape):
+        if shape not in detect_fns:
+            detect_fns[shape] = make_detect_fn(
+                model, shape, num_classes=num_classes,
+                score_threshold=score_threshold,
+                max_detections=max_detections)
+        return detect_fns[shape]
+
     variables = {"params": state.params, "frozen": state.frozen}
 
     detections, annotations = [], []
     for item in loader.eval_inputs():
+        detect = get_detect(tuple(item["image"].shape[1:3]))
         out = detect(variables, item["image"], item["P_inv"], item["planes"])
         scale = item["scale"]
         boxes = np.asarray(out.boxes[0]) / scale

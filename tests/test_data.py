@@ -1,5 +1,6 @@
 """Data-layer tests: label prep, dataset parsing, pipeline, augmentation."""
 
+import os
 import numpy as np
 import pytest
 
@@ -87,6 +88,40 @@ def test_loader_train_batch(kitti_root, native):
     assert batch["regression_dim"].shape == (2, n, 4)
     # at least one positive anchor somewhere in the batch
     assert (np.asarray(batch["regression"])[:, :, 12] == 1).any()
+
+
+def test_loader_resolution_buckets(kitti_root, tmp_path):
+    """Mixed-resolution datasets batch within per-shape buckets."""
+    import shutil
+    from PIL import Image
+
+    root = str(tmp_path / "mixed")
+    shutil.copytree(kitti_root, root)
+    # add a train image at double width (its own bucket)
+    img_dir = os.path.join(root, "train", "images")
+    src = sorted(os.listdir(img_dir))[0]
+    wide = Image.open(os.path.join(img_dir, src)).resize((832, 128))
+    wide.save(os.path.join(img_dir, "900000.png"))
+    for kind, ext in (("labels", ".txt"), ("calibs", ".txt")):
+        shutil.copyfile(
+            os.path.join(root, "train", kind, src.replace(".png", ext)),
+            os.path.join(root, "train", kind, "900000" + ext))
+
+    ds = KittiDataset(root, "train")
+    loader = KittiLoader(ds, batch_size=2, image_min_side=128,
+                         image_max_side=896, pad_multiple=64)
+    shapes = set()
+    for batch in loader.epoch(prefetch=0):
+        shapes.add(tuple(np.asarray(batch["image"]).shape[1:3]))
+        # anchor count always matches the batch's own image shape
+        from ground_plane_polling_tpu.ops import anchors as A
+
+        assert batch["labels"].shape[1] == A.num_anchors_for_shape(
+            tuple(np.asarray(batch["image"]).shape[1:3]))
+    assert len(shapes) == 2  # two buckets
+
+
+
 
 
 def test_loader_eval_inputs(kitti_root):
