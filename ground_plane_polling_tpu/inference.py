@@ -175,3 +175,51 @@ class GPPDetector:
                 self.model, images.shape[1:3], num_classes=self.num_classes,
                 with_pose=with_pose, **self.filter_kwargs)
         return self._fns[key](self.variables, images, P_inv, planes)
+
+    def detect_image(self, image_bgr, P, planes, with_pose: bool = True,
+                     min_side: int = 800, max_side: int = 1333,
+                     pad_multiple: int = 128, score_threshold: float = 0.05):
+        """Detect on one raw BGR image with a (3, 4) calibration.
+
+        Handles the full host-side contract of the reference's
+        run_network loop (resize to min/max side, calibration rescale,
+        pinv, padding, and mapping boxes back to raw-image pixels).
+        Returns a dict of numpy arrays for the detections above
+        `score_threshold`.
+        """
+        from .data.kitti import preprocess_image, resize_scale
+        from .data.pipeline import _resize_image
+
+        image_bgr = np.asarray(image_bgr, np.float32)
+        scale = resize_scale(image_bgr.shape[:2], min_side, max_side)
+        resized = _resize_image(image_bgr, scale)
+        ph = int(np.ceil(resized.shape[0] / pad_multiple)) * pad_multiple
+        pw = int(np.ceil(resized.shape[1] / pad_multiple)) * pad_multiple
+        padded = np.zeros((ph, pw, 3), np.float32)
+        padded[: resized.shape[0], : resized.shape[1]] = resized
+
+        P_scaled = np.diag([scale, scale, 1.0]) @ np.asarray(P)
+        P_inv = np.linalg.pinv(P_scaled)
+
+        out = self(
+            jnp.asarray(preprocess_image(padded)[None]),
+            jnp.asarray(P_inv[None], jnp.float32),
+            jnp.asarray(np.asarray(planes)[None], jnp.float32),
+            with_pose=with_pose)
+
+        keep = np.asarray(out.scores[0]) > score_threshold
+        result = {
+            "boxes": np.asarray(out.boxes[0])[keep] / scale,
+            "dims": np.asarray(out.dims[0])[keep],
+            "scores": np.asarray(out.scores[0])[keep],
+            "labels": np.asarray(out.labels[0])[keep],
+            "orientations": np.asarray(out.orientations[0])[keep],
+            "keypoints3d": np.asarray(out.keypoints[0])[keep],
+            "keyplanes": np.asarray(out.keyplanes[0])[keep],
+            "residuals": np.asarray(out.residuals[0])[keep],
+        }
+        if with_pose:
+            result["locations"] = np.asarray(out.locations[0])[keep]
+            result["angles"] = np.asarray(out.angles[0])[keep]
+            result["pose_dims"] = np.asarray(out.pose_dims[0])[keep]
+        return result
