@@ -78,7 +78,7 @@ def make_detect_fn(
     nms_threshold: float = 0.5,
     pre_nms_top_k: int = 1024,
     approx_top_k: bool = False,
-    use_pallas_polling: bool = False,
+    use_pallas_polling="auto",
     fused_decode: bool = True,
 ):
     """Build the jitted detect function for a static padded image shape.
@@ -87,15 +87,21 @@ def make_detect_fn(
     P_inv (B,4,3), planes (B,P,4)) -> DetectionOutput.
 
     use_pallas_polling selects the VMEM-streaming Pallas kernel for the
-    plane-polling stage (numerically identical; wins on large plane DBs).
+    plane-polling stage (numerically identical). "auto" (default) uses it
+    for plane databases of >= 4096 planes, where it measures ~1.75x faster
+    than the XLA-fused formulation; pass True/False to force.
     fused_decode defers box/dim decoding past the pre-NMS top-k so only
     ~1k candidates get decoded instead of every anchor (identical outputs).
     """
     anchors = jnp.asarray(anchor_ops.anchors_for_shape(image_shape))
-    if use_pallas_polling:
-        from .kernels.polling_pallas import fit_road_planes_pallas as poll_fn
-    else:
-        poll_fn = fit_road_planes
+
+    def pick_poll_fn(n_planes: int):
+        use = (n_planes >= 4096 if use_pallas_polling == "auto"
+               else bool(use_pallas_polling))
+        if use:
+            from .kernels.polling_pallas import fit_road_planes_pallas
+            return fit_road_planes_pallas
+        return fit_road_planes
 
     filter_kwargs = dict(
         num_classes=num_classes,
@@ -120,7 +126,7 @@ def make_detect_fn(
             boxes, dims = decode_predictions(raw, anchors, num_classes)
             det = filter_detections_batch(
                 boxes, dims, raw["classification"], **filter_kwargs)
-        poll = poll_fn(
+        poll = pick_poll_fn(planes.shape[1])(
             det.boxes, det.dims, det.orientations, P_inv, planes)
         out = DetectionOutput(
             boxes=det.boxes, dims=det.dims, scores=det.scores,
