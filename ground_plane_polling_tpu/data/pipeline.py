@@ -210,22 +210,47 @@ class KittiLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         stop = object()
+        cancelled = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that gives up when the consumer abandoned us
+            while not cancelled.is_set():
+                try:
+                    q.put(item, timeout=0.25)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for group in groups:
-                    q.put(self._make_batch(group))
+                    if cancelled.is_set():
+                        return
+                    if not _put(self._make_batch(group)):
+                        return
             finally:
-                q.put(stop)
+                _put(stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+        finally:
+            # consumer done or abandoned mid-epoch (e.g. steps_per_epoch <
+            # batches): release the producer instead of leaking it blocked
+            # on a full queue
+            cancelled.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=30)
 
     def eval_inputs(self) -> Iterator[dict]:
         """Yield per-image inference inputs (batch 1, like the reference's
