@@ -20,8 +20,10 @@ import sys
 
 def parse_args(argv):
     p = argparse.ArgumentParser(description="Export inference weights.")
-    p.add_argument("checkpoint", help="Training checkpoint path (orbax dir) "
-                                      "or an .npz weight file.")
+    p.add_argument("checkpoint", help="Training checkpoint path (orbax dir), "
+                                      "an .npz weight file, or a reference "
+                                      "Keras .h5 checkpoint (imported via "
+                                      "models.h5_import).")
     p.add_argument("model_out", help="Output .npz path.")
     p.add_argument("--backbone", default="resnet50")
     p.add_argument("--num-classes", type=int, default=1)
@@ -45,7 +47,10 @@ def main(argv=None):
                                        restore_checkpoint)
     from ..training.train import create_train_state, make_optimizer
 
-    if args.checkpoint.endswith(".npz"):
+    if args.checkpoint.endswith((".h5", ".hdf5")):
+        from ..models.h5_import import load_reference_h5
+        variables = load_reference_h5(args.checkpoint, backbone=args.backbone)
+    elif args.checkpoint.endswith(".npz"):
         variables = import_params(args.checkpoint)
     else:
         model = build_detector(args.backbone, num_classes=args.num_classes)

@@ -39,6 +39,10 @@ def parse_args(argv):
     p.add_argument("--image-min-side", type=int, default=800)
     p.add_argument("--image-max-side", type=int, default=1333)
     p.add_argument("--no-evaluation", action="store_true")
+    p.add_argument("--backbone-h5", default=None,
+                   help="keras_resnet ImageNet h5: initialise the backbone "
+                        "from it, keep fresh FPN/head init (mirrors the "
+                        "reference's imagenet default, bin/train.py:349-352)")
     p.add_argument("--weights", default=None,
                    help="Initialize from an exported .npz weight file.")
     p.add_argument("--data-parallel", action="store_true",
@@ -46,6 +50,9 @@ def parse_args(argv):
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay f32).")
     p.add_argument("--log-path", default="training_log.jsonl")
+    p.add_argument("--tensorboard-dir", default=None,
+                   help="also mirror per-epoch scalars into TensorBoard "
+                        "event files (reference bin/train.py:142-154)")
     p.add_argument("--compat-height-only-dim-loss", action="store_true",
                    help="Reproduce the reference's height-only dim loss.")
     return p.parse_args(argv)
@@ -89,7 +96,18 @@ def main(argv=None):
         jax.random.PRNGKey(0),
         jnp.zeros((1, *train_loader.image_shape, 3), jnp.float32))
     if args.weights:
-        variables = {**variables, **import_params(args.weights)}
+        if args.weights.endswith((".h5", ".hdf5")):
+            from ..models.h5_import import load_reference_h5
+            loaded = load_reference_h5(args.weights, backbone=args.backbone)
+        else:
+            loaded = import_params(args.weights)
+        variables = {**variables, **loaded}
+    if args.backbone_h5:
+        from ..models.h5_import import load_reference_h5, merge_backbone
+        variables = merge_backbone(
+            variables, load_reference_h5(args.backbone_h5,
+                                         backbone=args.backbone,
+                                         backbone_only=True))
 
     tx = make_optimizer(clipnorm=0.001, freeze_backbone=args.freeze_backbone)
     state = create_train_state(variables, tx, learning_rate=args.lr)
@@ -117,7 +135,7 @@ def main(argv=None):
         epochs=args.epochs, steps_per_epoch=args.steps,
         val_loader=val_loader, num_classes=train_ds.num_classes,
         checkpoint_dir=None if args.no_snapshots else args.snapshot_path,
-        log_path=args.log_path)
+        log_path=args.log_path, tensorboard_dir=args.tensorboard_dir)
     return state
 
 

@@ -66,7 +66,12 @@ class ResNetBackbone(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
+        # Explicit 3-pixel padding (not SAME): keras_resnet's stem is
+        # ZeroPadding2D(3) + valid conv, which for stride-2 even inputs sits
+        # one pixel left/up of SAME's asymmetric padding. Output shape is
+        # identical; the window alignment must match for imported reference
+        # weights to reproduce reference activations.
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="bn1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
