@@ -114,6 +114,7 @@ def test_debug_cli(trained, tmp_path):
     assert len(files) == 1 and files[0].endswith(".png")
 
 
+@pytest.mark.slow
 def test_train_cli_data_parallel(kitti_root, tmp_path):
     """--data-parallel over the 8 virtual CPU devices through the CLI."""
     import jax

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ground_plane_polling_tpu.models import build_detector
 from ground_plane_polling_tpu.ops import anchors as anchor_ops
@@ -83,6 +84,7 @@ def test_freeze_backbone_zeroes_backbone_updates():
         for a, b in zip(head_before, head_after))
 
 
+@pytest.mark.slow
 def test_sharded_train_step_8_devices():
     assert jax.device_count() >= 8, "conftest must provide 8 cpu devices"
     model = build_detector("tiny")
@@ -99,6 +101,7 @@ def test_sharded_train_step_8_devices():
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     """DP over 8 devices must equal the single-device step on the same batch.
 
