@@ -80,6 +80,7 @@ def make_detect_fn(
     approx_top_k: bool = False,
     use_pallas_polling="auto",
     fused_decode: bool = True,
+    mesh=None,
 ):
     """Build the jitted detect function for a static padded image shape.
 
@@ -92,6 +93,13 @@ def make_detect_fn(
     than the XLA-fused formulation; pass True/False to force.
     fused_decode defers box/dim decoding past the pre-NMS top-k so only
     ~1k candidates get decoded instead of every anchor (identical outputs).
+
+    mesh: optional jax.sharding.Mesh with a 'data' axis. When given, the
+    function is compiled SPMD: parameters replicated, the batch axis of
+    images / P_inv / planes (and every output) sharded over the mesh —
+    multi-chip serving/eval from the same program (the reference's
+    multi_gpu_model covered training only; batch-parallel inference is the
+    natural TPU extension). Batch must be divisible by the mesh size.
     """
     anchors = jnp.asarray(anchor_ops.anchors_for_shape(image_shape))
 
@@ -115,7 +123,6 @@ def make_detect_fn(
         approx_top_k=approx_top_k,
     )
 
-    @jax.jit
     def detect(variables, images, P_inv, planes) -> DetectionOutput:
         raw = model.apply(variables, images)
         if fused_decode:
@@ -141,7 +148,18 @@ def make_detect_fn(
                                pose_dims=pose.dimensions)
         return out
 
-    return detect
+    if mesh is None:
+        return jax.jit(detect)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        detect,
+        in_shardings=(replicated, batched, batched, batched),
+        out_shardings=batched,
+    )
 
 
 class GPPDetector:

@@ -1,0 +1,99 @@
+"""Mesh-sharded inference/eval must match the single-device path exactly.
+
+The reference's multi-GPU story covered training only
+(/root/reference/keras_retinanet_3D/bin/train.py:100-104); batch-parallel
+inference over a device mesh is the TPU-native extension. These tests run
+on the 8-virtual-CPU-device mesh from conftest.
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ground_plane_polling_tpu.inference import make_detect_fn
+from ground_plane_polling_tpu.models import build_detector
+from ground_plane_polling_tpu.parallel import data_parallel_mesh
+
+from .fixtures import make_synthetic_kitti
+
+IMG = (64, 64)
+N_PLANES = 16
+
+
+def _inputs(batch, rng):
+    images = rng.uniform(-1, 1, (batch, *IMG, 3)).astype(np.float32)
+    P = np.array([[720.0, 0.0, 620.0, 0.0],
+                  [0.0, 720.0, 190.0, 0.0],
+                  [0.0, 0.0, 1.0, 0.0]])
+    P_inv = np.tile(np.linalg.pinv(P)[None], (batch, 1, 1)).astype(np.float32)
+    planes = np.stack([
+        rng.uniform(-0.05, 0.05, N_PLANES),
+        np.ones(N_PLANES),
+        rng.uniform(-0.05, 0.05, N_PLANES),
+        rng.uniform(-2.5, -1.0, N_PLANES),
+    ], axis=1)
+    planes = np.tile(planes[None], (batch, 1, 1)).astype(np.float32)
+    return images, P_inv, planes
+
+
+def test_sharded_detect_matches_single(rng):
+    assert jax.device_count() >= 8
+    model = build_detector("tiny")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, *IMG, 3), jnp.float32))
+    images, P_inv, planes = _inputs(8, rng)
+
+    single = make_detect_fn(model, IMG, with_pose=True)
+    sharded = make_detect_fn(model, IMG, with_pose=True,
+                             mesh=data_parallel_mesh(8))
+
+    a = single(variables, images, P_inv, planes)
+    b = sharded(variables, images, P_inv, planes)
+
+    np.testing.assert_array_equal(np.asarray(a.labels), np.asarray(b.labels))
+    np.testing.assert_array_equal(np.asarray(a.orientations),
+                                  np.asarray(b.orientations))
+    for field in ("boxes", "dims", "scores", "keypoints", "residuals",
+                  "locations", "angles"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, field)), np.asarray(getattr(b, field)),
+            rtol=1e-5, atol=1e-5, err_msg=field)
+
+
+def test_sharded_evaluate_matches_single(tmp_path):
+    """evaluate_model(mesh=...) groups same-shape images into sharded
+    batches (padding the short final group) and must reproduce the batch-1
+    sweep bit-for-bit on the bucketed AP/error outputs."""
+    from ground_plane_polling_tpu.data.kitti import KittiDataset
+    from ground_plane_polling_tpu.data.pipeline import KittiLoader
+    from ground_plane_polling_tpu.training.loop import evaluate_model
+    from ground_plane_polling_tpu.training.train import (create_train_state,
+                                                         make_optimizer)
+
+    root = make_synthetic_kitti(str(tmp_path / "kitti"), n_images=6)
+    ds = KittiDataset(root, "train")  # 5 images: one full group of 4 + 1
+    loader = KittiLoader(ds, batch_size=1, image_min_side=128,
+                         image_max_side=448, shuffle=False)
+
+    model = build_detector("tiny", num_classes=ds.num_classes)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, *loader.image_shape, 3), jnp.float32))
+    state = create_train_state(variables, make_optimizer())
+
+    kwargs = dict(num_classes=ds.num_classes, score_threshold=0.0)
+    ap1, err1, buckets1 = evaluate_model(model, state, loader, **kwargs)
+    ap2, err2, buckets2 = evaluate_model(model, state, loader,
+                                         mesh=data_parallel_mesh(4), **kwargs)
+
+    assert ap1 == pytest.approx(ap2, abs=1e-6)
+    for k in err1:
+        assert err1[k] == pytest.approx(err2[k], abs=1e-5)
+    assert buckets1.keys() == buckets2.keys()
+    for k in buckets1:
+        assert buckets1[k][1] == buckets2[k][1]
+        assert buckets1[k][0] == pytest.approx(buckets2[k][0], abs=1e-6)
