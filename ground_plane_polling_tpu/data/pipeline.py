@@ -46,10 +46,17 @@ def _resize_image(image: np.ndarray, scale: float) -> np.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("num_classes", "do_augment", "config", "image_shape"))
-def _device_prepare(key, images, anns, ann_mask, ignores, ig_mask,
+def _device_prepare(key, images, anns, ann_mask, ignores, ig_mask, valid,
                     num_classes: int, do_augment: bool,
                     config: AugmentConfig, image_shape):
-    """Augment + normalize + assign targets for a whole batch on device."""
+    """Augment + normalize + assign targets for a whole batch on device.
+
+    `valid` (B,) flags filler rows padding a short final batch: their anchor
+    states are forced to -1 (ignore) so they contribute nothing to any loss
+    term — the static batch shape is preserved (no retrace) while the
+    gradient matches the reference's smaller final group
+    (generator.py:245-270 yields short groups; Keras just runs them).
+    """
     if do_augment:
         keys = jax.random.split(key, images.shape[0])
         images, anns, ignores = jax.vmap(
@@ -63,11 +70,17 @@ def _device_prepare(key, images, anns, ann_mask, ignores, ig_mask,
         lambda a, am, g, gm: anchor_targets(
             anchors, a, am, g, gm, num_classes=num_classes)
     )(anns, ann_mask, ignores, ig_mask)
+
+    labels = jnp.where(valid[:, None, None], targets["labels"], -1.0)
+    regression = targets["regression"].at[..., 12].set(
+        jnp.where(valid[:, None], targets["regression"][..., 12], -1.0))
+    regression_dim = targets["regression_dim"].at[..., 3].set(
+        jnp.where(valid[:, None], targets["regression_dim"][..., 3], -1.0))
     return {
         "image": net_images,
-        "labels": targets["labels"],
-        "regression": targets["regression"],
-        "regression_dim": targets["regression_dim"],
+        "labels": labels,
+        "regression": regression,
+        "regression_dim": regression_dim,
     }
 
 
@@ -123,13 +136,18 @@ class KittiLoader:
         # dominant bucket shape, kept as the loader's nominal image_shape
         self.image_shape = max(buckets, key=lambda k: len(buckets[k]))
 
+        # groups are (indices, n_valid): a short final group is padded by
+        # repeating its last index, and the filler rows are loss-masked in
+        # _device_prepare (the reference yields a smaller final group;
+        # padding + masking keeps our batch shape static for XLA)
         self._groups = []
         for shape, idxs in sorted(buckets.items()):
             idxs = sorted(idxs, key=dataset.aspect_ratio)
             for st in range(0, len(idxs), batch_size):
-                self._groups.append(
-                    [idxs[i % len(idxs)]
-                     for i in range(st, st + batch_size)])
+                chunk = idxs[st:st + batch_size]
+                n_valid = len(chunk)
+                chunk = chunk + [chunk[-1]] * (batch_size - n_valid)
+                self._groups.append((chunk, n_valid))
 
     def _image_hw(self, i):
         if self._native is not None:
@@ -177,11 +195,13 @@ class KittiLoader:
         return padded, ga, gm, ia, im_, scale
 
     def _make_batch(self, group):
-        items = [self._load_padded(i) for i in group]
+        indices, n_valid = group
+        items = [self._load_padded(i) for i in indices]
         images, ga, gm, ia, im_, _ = map(np.stack, zip(*items))
+        valid = np.arange(len(indices)) < n_valid
         self._key, sub = jax.random.split(self._key)
         return _device_prepare(
-            sub, images, ga, gm, ia, im_,
+            sub, images, ga, gm, ia, im_, valid,
             num_classes=self.ds.num_classes,
             do_augment=self.augment,
             config=self.augment_config,

@@ -40,3 +40,32 @@ def test_abandoned_epoch_releases_producer(loader):
         it.close()      # abandon mid-epoch
     time.sleep(1.5)
     assert _thread_count() <= before + 1, "producer threads leaked"
+
+
+def test_partial_final_batch_is_masked(tmp_path):
+    """A short final group is padded to the static batch size by repeating
+    the last sample, and the filler rows are fully loss-masked (states -1),
+    so per-epoch gradients match the reference's smaller final group."""
+    import numpy as np
+
+    root = make_synthetic_kitti(str(tmp_path / "kitti"), n_images=4)
+    ds = KittiDataset(root, "train")  # 3 images
+    loader = KittiLoader(ds, batch_size=2, image_min_side=128,
+                         image_max_side=448, pad_multiple=64, shuffle=False)
+
+    assert len(loader) == 2
+    batches = list(loader.epoch(prefetch=0))
+    assert [b["image"].shape[0] for b in batches] == [2, 2]
+
+    full, partial = batches
+    # real samples carry positive/negative anchor states
+    assert np.any(np.asarray(full["labels"]) != -1.0)
+    assert np.any(np.asarray(partial["labels"][0]) != -1.0)
+    # filler row: everything ignored
+    filler_labels = np.asarray(partial["labels"][1])
+    assert np.all(filler_labels == -1.0)
+    assert np.all(np.asarray(partial["regression"][1, :, 12]) == -1.0)
+    assert np.all(np.asarray(partial["regression_dim"][1, :, 3]) == -1.0)
+    # and each real sample is visited exactly once per epoch
+    seen = [idx for (idxs, n) in loader._groups for idx in idxs[:n]]
+    assert sorted(seen) == list(range(3))
