@@ -19,9 +19,10 @@ from ..ops.pose import matrix_from_rodrigues
 from .colors import label_color
 
 __all__ = [
-    "draw_box", "draw_caption", "draw_dashed_line",
-    "draw_detections_with_keypoints", "draw_3d_detections_from_pose",
-    "draw_annotations_with_keypoints", "draw_anchors",
+    "draw_box", "draw_boxes", "draw_caption", "draw_dashed_line",
+    "draw_detections", "draw_detections_with_keypoints",
+    "draw_3d_detections", "draw_3d_detections_from_pose",
+    "draw_annotations", "draw_annotations_with_keypoints", "draw_anchors",
 ]
 
 ORIENTATION_COLORS = [(0, 0, 255), (0, 255, 0), (255, 0, 0), (0, 255, 255)]
@@ -200,6 +201,36 @@ def draw_3d_detections(image, boxes2d, keypoints3d, residuals, scores,
                           width=2)
         draw_caption(draw, [pts[:, 0].min(), pts[:, 1].min(), 0, 0],
                      f"r={float(residuals[i]):.2f}", color)
+    return _from_pil(pil)
+
+
+def draw_boxes(image, boxes, color, thickness=1):
+    """Plain (N, 4) boxes in one color (reference
+    utils/visualization.py:54-62)."""
+    from PIL import ImageDraw
+
+    pil = _to_pil(image)
+    draw = ImageDraw.Draw(pil)
+    for b in boxes:
+        draw_box(draw, b[:4], color, thickness=thickness)
+    return _from_pil(pil)
+
+
+def draw_annotations(image, annotations, color=(255, 255, 255),
+                     label_to_name=None):
+    """Ground-truth boxes + captions, no keypoint glyphs (reference
+    utils/visualization.py:391-410). `annotations` is (N, 17); caption is
+    '<label>; <height>' like the reference's."""
+    from PIL import ImageDraw
+
+    pil = _to_pil(image)
+    draw = ImageDraw.Draw(pil)
+    for a in annotations:
+        label = int(a[15])
+        c = color if color is not None else label_color(label)
+        name = label_to_name(label) if label_to_name else label
+        draw_box(draw, a[:4], c)
+        draw_caption(draw, a[:4], f"{name}; {a[13]}", c)
     return _from_pil(pil)
 
 

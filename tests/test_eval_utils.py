@@ -155,3 +155,31 @@ def test_visualization_smoke(rng):
         np.array([0]), np.array([1]),
         P=np.array([[200.0, 0, 128, 0], [0, 200.0, 64, 0], [0, 0, 1, 0]]))
     assert (out_kp3 != img).any()
+
+
+def test_plain_draw_helpers():
+    """draw_annotations / draw_boxes (reference visualization.py:391-410,
+    54-62) — plain variants without keypoint glyphs."""
+    from ground_plane_polling_tpu.utils import visualization as vis
+
+    img = np.zeros((128, 256, 3), np.uint8)
+    ann = np.zeros((2, 17))
+    ann[0, :4] = [20, 20, 80, 90]
+    ann[0, 13] = 1.7
+    ann[1, :4] = [100, 30, 180, 100]
+    ann[1, 15] = 0
+
+    out = vis.draw_annotations(img, ann)
+    assert (out != img).any()
+    out_named = vis.draw_annotations(
+        img, ann, color=None, label_to_name=lambda i: "car")
+    assert (out_named != img).any()
+
+    boxes = np.array([[10.0, 10, 60, 60], [70.0, 20, 120, 90]])
+    out_boxes = vis.draw_boxes(img, boxes, (0, 255, 0))
+    assert (out_boxes != img).any()
+
+    out_det = vis.draw_detections(
+        img, boxes, np.array([0.9, 0.2]), np.array([0, 0]),
+        np.array([1, 2]))
+    assert (out_det != img).any()
