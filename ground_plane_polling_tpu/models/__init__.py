@@ -38,7 +38,8 @@ def backbone_registry():
 
 
 def build_detector(backbone: str = "resnet50", num_classes: int = 1,
-                   dtype: Any = jnp.float32) -> GPPRetinaNet:
+                   dtype: Any = jnp.float32,
+                   pack_levels: bool = False) -> GPPRetinaNet:
     reg = backbone_registry()
     if backbone not in reg:
         raise ValueError(
@@ -48,4 +49,5 @@ def build_detector(backbone: str = "resnet50", num_classes: int = 1,
         backbone_fn=functools.partial(ctor, dtype=dtype),
         num_classes=num_classes,
         dtype=dtype,
+        pack_levels=pack_levels,
     )

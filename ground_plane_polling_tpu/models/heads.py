@@ -31,7 +31,11 @@ __all__ = ["ClassificationHead", "BoxRegressionHead", "DimRegressionHead"]
 _normal01 = nn.initializers.normal(stddev=0.01)
 
 
-def _tower(x, width, dtype, name_prefix):
+def _tower(x, width, dtype, name_prefix, mask=None):
+    """4x conv+relu tower; `mask` re-zeroes inter-level gap pixels so a
+    packed multi-level canvas behaves exactly like per-level SAME padding
+    (each level's border convs must read zeros, not the neighbouring
+    level's bias-coloured gap)."""
     for i in range(4):
         x = nn.Conv(
             width, (3, 3), padding="SAME", dtype=dtype,
@@ -39,6 +43,8 @@ def _tower(x, width, dtype, name_prefix):
             name=f"{name_prefix}_{i}",
         )(x)
         x = nn.relu(x)
+        if mask is not None:
+            x = x * mask
     return x
 
 
@@ -55,14 +61,19 @@ class ClassificationHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        x = _tower(x, self.width, self.dtype, "cls")
+    def __call__(self, x, mask=None, flatten: bool = True):
+        x = _tower(x, self.width, self.dtype, "cls", mask=mask)
         out_ch = self.num_anchors * 8 * self.num_classes
         x = nn.Conv(
             out_ch, (3, 3), padding="SAME", dtype=self.dtype,
             kernel_init=nn.initializers.zeros, bias_init=PRIOR_PROB_BIAS,
             name="cls_out",
         )(x)
+        if not flatten:
+            return x  # raw logit map (caller slices/flattens/sigmoids)
+        return self.finalize(x)
+
+    def finalize(self, x):
         logits = _flatten_anchors(x, 8 * self.num_classes)
         return nn.sigmoid(logits.astype(jnp.float32))
 
@@ -73,13 +84,18 @@ class BoxRegressionHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        x = _tower(x, self.width, self.dtype, "box")
+    def __call__(self, x, mask=None, flatten: bool = True):
+        x = _tower(x, self.width, self.dtype, "box", mask=mask)
         x = nn.Conv(
             self.num_anchors * 12, (3, 3), padding="SAME", dtype=self.dtype,
             kernel_init=_normal01, bias_init=nn.initializers.zeros,
             name="box_out",
         )(x)
+        if not flatten:
+            return x
+        return self.finalize(x)
+
+    def finalize(self, x):
         return _flatten_anchors(x, 12).astype(jnp.float32)
 
 
@@ -90,11 +106,16 @@ class DimRegressionHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        x = _tower(x, self.width, self.dtype, "dim")
+    def __call__(self, x, mask=None, flatten: bool = True):
+        x = _tower(x, self.width, self.dtype, "dim", mask=mask)
         x = nn.Conv(
             self.num_anchors * 3 * self.num_classes, (3, 3), padding="SAME",
             dtype=self.dtype, kernel_init=_normal01,
             bias_init=nn.initializers.zeros, name="dim_out",
         )(x)
+        if not flatten:
+            return x
+        return self.finalize(x)
+
+    def finalize(self, x):
         return _flatten_anchors(x, 3 * self.num_classes).astype(jnp.float32)

@@ -88,3 +88,40 @@ def test_jit_forward_consistency():
         np.asarray(eager["regression"]), np.asarray(jitted["regression"]),
         rtol=2e-4, atol=1e-5,
     )
+
+
+def test_pack_levels_matches_unpacked():
+    """pack_levels=True (P4..P7 packed into one canvas per head, gap pixels
+    re-zeroed every tower layer) must reproduce the per-level head outputs —
+    same params, same math, different conv scheduling."""
+    import numpy as np
+
+    from ground_plane_polling_tpu.models import build_detector
+
+    img = (128, 192)  # multi-size pyramid incl. odd tail shapes
+    base = build_detector("tiny")
+    packed = build_detector("tiny", pack_levels=True)
+    x = jnp.asarray(
+        np.random.RandomState(0).uniform(-1, 1, (2, *img, 3)), jnp.float32)
+    variables = base.init(jax.random.PRNGKey(0), x)
+
+    # heads init with random tower kernels but zero/constant biases; perturb
+    # every bias so the gap re-zeroing is actually load-bearing
+    def perturb(tree, key=[0]):
+        def f(p):
+            key[0] += 1
+            r = np.random.RandomState(key[0])
+            return p + jnp.asarray(r.normal(0, 0.05, p.shape), p.dtype)
+        return jax.tree.map(f, tree)
+
+    params = dict(variables["params"])
+    for head in ("classification", "regression", "regression_dim"):
+        params[head] = perturb(variables["params"][head])
+    variables = {**variables, "params": params}
+
+    out_a = base.apply(variables, x)
+    out_b = packed.apply(variables, x)
+    for k in out_a:
+        np.testing.assert_allclose(
+            np.asarray(out_b[k]), np.asarray(out_a[k]),
+            rtol=1e-5, atol=1e-5, err_msg=k)
