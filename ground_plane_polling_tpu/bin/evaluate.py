@@ -26,6 +26,9 @@ def parse_args(argv):
     p.add_argument("--image-min-side", type=int, default=800)
     p.add_argument("--image-max-side", type=int, default=1333)
     p.add_argument("--backbone", default=None)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the eval sweep over all devices (mesh-sized "
+                        "batches of same-shape images; identical results)")
     return p.parse_args(argv)
 
 
@@ -61,11 +64,20 @@ def main(argv=None):
                        frozen=variables.get("frozen", {}),
                        opt_state=None, lr=jnp.zeros(()))
 
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from ..parallel import data_parallel_mesh
+
+        if jax.device_count() > 1:
+            mesh = data_parallel_mesh()
+
     mean_ap, errors, aps = evaluate_model(
         model, state, loader, num_classes=num_classes,
         score_threshold=args.score_threshold,
         max_detections=args.max_detections,
-        iou_threshold=args.iou_threshold)
+        iou_threshold=args.iou_threshold, mesh=mesh)
 
     for bucket, (ap, n) in sorted(aps.items()):
         print(f"bucket {bucket} (class {bucket // 4}, orient {bucket % 4}): "

@@ -119,8 +119,10 @@ def main(argv=None):
     elif args.snapshot:
         state = restore_checkpoint(args.snapshot, state)
 
+    eval_mesh = None
     if args.data_parallel and jax.device_count() > 1:
         mesh = data_parallel_mesh()
+        eval_mesh = mesh
         raw_step = make_sharded_train_step(
             model, tx, mesh, compat_height_only=args.compat_height_only_dim_loss)
 
@@ -135,7 +137,8 @@ def main(argv=None):
         epochs=args.epochs, steps_per_epoch=args.steps,
         val_loader=val_loader, num_classes=train_ds.num_classes,
         checkpoint_dir=None if args.no_snapshots else args.snapshot_path,
-        log_path=args.log_path, tensorboard_dir=args.tensorboard_dir)
+        log_path=args.log_path, tensorboard_dir=args.tensorboard_dir,
+        eval_mesh=eval_mesh)
     return state
 
 

@@ -105,7 +105,8 @@ def fit(model, state: TrainState, train_step: Callable, train_loader,
         lr_schedule: Optional[ReduceLROnPlateau] = None,
         verbose: bool = True,
         nan_guard: bool = True,
-        keep_checkpoints: int = 5):
+        keep_checkpoints: int = 5,
+        eval_mesh=None):
     """Run the training loop; returns the final TrainState.
 
     nan_guard: failure detection — a non-finite loss aborts the run with a
@@ -162,7 +163,8 @@ def fit(model, state: TrainState, train_step: Callable, train_loader,
 
             if val_loader is not None:
                 mean_ap, errors, _ = evaluate_model(
-                    model, state, val_loader, num_classes=num_classes)
+                    model, state, val_loader, num_classes=num_classes,
+                    mesh=eval_mesh)
                 record.update({"mAP": mean_ap, **errors})
 
             state, reduced = lr_schedule.update(state, losses["loss"])
