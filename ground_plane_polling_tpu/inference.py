@@ -89,8 +89,9 @@ def make_detect_fn(
 
     use_pallas_polling selects the VMEM-streaming Pallas kernel for the
     plane-polling stage (numerically identical). "auto" (default) uses it
-    for plane databases of >= 4096 planes, where it measures ~1.75x faster
-    than the XLA-fused formulation; pass True/False to force.
+    for plane databases of >= 1024 planes (one P_TILE): measured ~1.2x
+    faster end-to-end at 1024 planes and ~1.75x at 21634 vs the XLA-fused
+    formulation (tools/bench_variants.py); pass True/False to force.
     fused_decode defers box/dim decoding past the pre-NMS top-k so only
     ~1k candidates get decoded instead of every anchor (identical outputs).
 
@@ -104,7 +105,7 @@ def make_detect_fn(
     anchors = jnp.asarray(anchor_ops.anchors_for_shape(image_shape))
 
     def pick_poll_fn(n_planes: int):
-        use = (n_planes >= 4096 if use_pallas_polling == "auto"
+        use = (n_planes >= 1024 if use_pallas_polling == "auto"
                else bool(use_pallas_polling))
         if use:
             from .kernels.polling_pallas import fit_road_planes_pallas

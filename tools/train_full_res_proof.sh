@@ -15,12 +15,23 @@ ROOT=/tmp/full_res_kitti
 OUT=/tmp/full_res_proof
 rm -rf "$OUT"; mkdir -p "$OUT"
 
+retry() {
+  # the axon relay registration fails transiently; retry each phase
+  for attempt in 1 2 3 4 5; do
+    if "$@"; then return 0; fi
+    echo "[retry] attempt $attempt failed; waiting 60s" >&2
+    sleep 60
+  done
+  echo "[retry] giving up on: $*" >&2
+  return 1
+}
+
 if [ ! -d "$ROOT/train/images" ]; then
   PALLAS_AXON_POOL_IPS= python tools/synthetic_kitti.py "$ROOT"
 fi
 
 echo "=== phase A: train 2 epochs (60 steps each, batch 2, eval on) ==="
-python -m ground_plane_polling_tpu.bin.train \
+retry python -m ground_plane_polling_tpu.bin.train \
   --backbone resnet50 --batch-size 2 --epochs 2 --steps 60 \
   --lr 5e-5 --bf16 --random-transform \
   --snapshot-path "$OUT/snapshots" \
@@ -29,7 +40,7 @@ python -m ground_plane_polling_tpu.bin.train \
   kitti "$ROOT"
 
 echo "=== phase B: resume from latest snapshot, 1 more epoch ==="
-python -m ground_plane_polling_tpu.bin.train \
+retry python -m ground_plane_polling_tpu.bin.train \
   --backbone resnet50 --batch-size 2 --epochs 1 --steps 60 \
   --lr 5e-5 --bf16 --random-transform \
   --snapshot auto --snapshot-path "$OUT/snapshots" \
@@ -39,15 +50,15 @@ python -m ground_plane_polling_tpu.bin.train \
 
 echo "=== phase C: convert latest checkpoint ==="
 LATEST=$(ls -d "$OUT"/snapshots/step_* | sort | tail -1)
-python -m ground_plane_polling_tpu.bin.convert_model \
+retry python -m ground_plane_polling_tpu.bin.convert_model \
   "$LATEST" "$OUT/model.npz" --backbone resnet50
 
 echo "=== phase D: run-network on the val split ==="
-python -m ground_plane_polling_tpu.bin.run_network \
+retry python -m ground_plane_polling_tpu.bin.run_network \
   --backbone resnet50 --kitti --save-images \
   "$OUT/model.npz" "$ROOT/val/images" "$ROOT/val/calibs" \
   "$ROOT/road_planes_database.mat" "$OUT/detections" || \
-python -m ground_plane_polling_tpu.bin.run_network --help
+retry python -m ground_plane_polling_tpu.bin.run_network --help
 
 echo "=== results ==="
 cat "$OUT/log.jsonl"
