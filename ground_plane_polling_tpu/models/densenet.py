@@ -46,10 +46,14 @@ class DenseNetBackbone(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
+        # keras.applications densenet stem is ZeroPadding2D(3) + valid conv
+        # and ZeroPadding2D(1) + valid pool — one pixel off SAME for even
+        # stride-2 inputs; explicit padding keeps imported weights exact
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype, name="stem_conv")(x)
         x = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="stem_bn")(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
 
         feats = []
         for b, n in enumerate(self.block_sizes):

@@ -82,8 +82,13 @@ def read_keras_h5(path: str) -> LayerWeights:
         if len(parts) < 2:
             return
         weight = parts[-1].split(":")[0]
-        layer = parts[-2]
-        layers.setdefault(layer, {})[weight] = np.asarray(obj)
+        arr = np.asarray(obj)
+        # primary key: immediate parent group (flat layer names, nested
+        # submodels). Slashed layer names (keras densenet 'conv1/conv')
+        # additionally register under 'grandparent/parent'.
+        layers.setdefault(parts[-2], {})[weight] = arr
+        if len(parts) >= 3:
+            layers.setdefault(f"{parts[-3]}/{parts[-2]}", {})[weight] = arr
 
     with h5py.File(path, "r") as f:
         root = f["model_weights"] if "model_weights" in f else f
@@ -107,12 +112,20 @@ def _conv(entry) -> Dict[str, np.ndarray]:
     return out
 
 
-def _bn(entry) -> Dict[str, np.ndarray]:
+def _bn(entry, eps_adjust: float = 0.0) -> Dict[str, np.ndarray]:
+    """BN weights -> FrozenBatchNorm tree.
+
+    eps_adjust pre-folds a source-epsilon difference into the variance:
+    our FrozenBatchNorm uses eps=1e-5, keras.applications mobilenet uses
+    1e-3 and densenet 1.001e-5; storing var + (eps_src - 1e-5) reproduces
+    the source network bit-for-bit without touching the modules.
+    """
     return {
         "scale": np.asarray(entry["gamma"], np.float32),
         "bias": np.asarray(entry["beta"], np.float32),
         "mean": np.asarray(entry["moving_mean"], np.float32),
-        "var": np.asarray(entry["moving_variance"], np.float32),
+        "var": np.asarray(entry["moving_variance"],
+                          np.float32) + np.float32(eps_adjust),
     }
 
 
@@ -145,6 +158,68 @@ def _resnet_trees(layers: LayerWeights, stage_sizes):
                 z["bn_proj"] = bnw("branch1")
             params[ours] = p
             frozen[ours] = z
+    return params, frozen
+
+
+_VGG_BLOCKS = {"vgg16": (2, 2, 3, 3, 3), "vgg19": (2, 2, 4, 4, 4)}
+_DENSENET_BLOCKS = {"densenet121": (6, 12, 24, 16),
+                    "densenet169": (6, 12, 32, 32),
+                    "densenet201": (6, 12, 48, 32)}
+
+
+def _vgg_trees(layers: LayerWeights, blocks):
+    """keras.applications VGG names match our module names exactly."""
+    params = {}
+    for b, n in enumerate(blocks, start=1):
+        for i in range(1, n + 1):
+            name = f"block{b}_conv{i}"
+            params[name] = _conv(_get(layers, name))
+    return params, {}
+
+
+def _mobilenet_trees(layers: LayerWeights, n_blocks: int = 13):
+    """keras.applications MobileNet v1 (BN eps 1e-3, pre-folded).
+
+    Depthwise kernels are stored (kh, kw, ch, 1); flax grouped conv wants
+    (kh, kw, 1, ch).
+    """
+    eps = 1e-3 - 1e-5
+    params = {"conv0": _conv(_get(layers, "conv1"))}
+    frozen = {"bn0": _bn(_get(layers, "conv1_bn"), eps)}
+    for i in range(1, n_blocks + 1):
+        dw = np.asarray(_get(layers, f"conv_dw_{i}")["depthwise_kernel"],
+                        np.float32)
+        params[f"dw{i}"] = {"kernel": dw.transpose(0, 1, 3, 2)}
+        params[f"pw{i}"] = _conv(_get(layers, f"conv_pw_{i}"))
+        frozen[f"dw{i}_bn"] = _bn(_get(layers, f"conv_dw_{i}_bn"), eps)
+        frozen[f"pw{i}_bn"] = _bn(_get(layers, f"conv_pw_{i}_bn"), eps)
+    return params, frozen
+
+
+def _densenet_trees(layers: LayerWeights, block_sizes):
+    """keras.applications DenseNet (BN eps 1.001e-5, pre-folded).
+
+    Stem layers are the slashed 'conv1/conv' names in Keras 2 h5 files
+    (Keras 3 renamed them 'conv1_conv'; both are probed). Block b layer i
+    maps from conv{b+1}_block{i}_{0_bn,1_conv,1_bn,2_conv}; transition b
+    from pool{b+1}_{bn,conv}.
+    """
+    eps = 1.001e-5 - 1e-5
+    params = {"stem_conv": _conv(_get(layers, "conv1/conv", "conv1_conv"))}
+    frozen = {"stem_bn": _bn(_get(layers, "conv1/bn", "conv1_bn"), eps)}
+    for b, n in enumerate(block_sizes, start=1):
+        for i in range(1, n + 1):
+            k = f"conv{b + 1}_block{i}"
+            ours = f"block{b}_layer{i}"
+            params[ours] = {"conv1": _conv(_get(layers, f"{k}_1_conv")),
+                            "conv2": _conv(_get(layers, f"{k}_2_conv"))}
+            frozen[ours] = {"bn1": _bn(_get(layers, f"{k}_0_bn"), eps),
+                            "bn2": _bn(_get(layers, f"{k}_1_bn"), eps)}
+        if b < len(block_sizes):
+            params[f"trans{b}_conv"] = _conv(
+                _get(layers, f"pool{b + 1}_conv"))
+            frozen[f"trans{b}_bn"] = _bn(
+                _get(layers, f"pool{b + 1}_bn"), eps)
     return params, frozen
 
 
@@ -219,22 +294,33 @@ def load_reference_h5(path: str, backbone: str = "resnet50",
     The classification/dim head output widths (and so num_classes) are
     whatever the file contains; shapes are taken verbatim from the h5.
     """
-    if stage_sizes is None:
-        if backbone not in _KNOWN_STAGES:
-            raise ValueError(f"h5 import supports {sorted(_KNOWN_STAGES)}; "
-                             f"got {backbone!r}")
-        stage_sizes = _KNOWN_STAGES[backbone]
     layers = read_keras_h5(path)
-    bb_params, bb_frozen = _resnet_trees(layers, stage_sizes)
+    if stage_sizes is not None:
+        bb_params, bb_frozen = _resnet_trees(layers, stage_sizes)
+    elif backbone in _KNOWN_STAGES:
+        bb_params, bb_frozen = _resnet_trees(layers, _KNOWN_STAGES[backbone])
+    elif backbone in _VGG_BLOCKS:
+        bb_params, bb_frozen = _vgg_trees(layers, _VGG_BLOCKS[backbone])
+    elif backbone.startswith("mobilenet"):
+        bb_params, bb_frozen = _mobilenet_trees(layers)
+    elif backbone in _DENSENET_BLOCKS:
+        bb_params, bb_frozen = _densenet_trees(layers,
+                                               _DENSENET_BLOCKS[backbone])
+    else:
+        known = (sorted(_KNOWN_STAGES) + sorted(_VGG_BLOCKS)
+                 + sorted(_DENSENET_BLOCKS) + ["mobilenet*"])
+        raise ValueError(f"h5 import supports {known}; got {backbone!r}")
     params = {"backbone": bb_params}
-    frozen = {"backbone": bb_frozen}
     if not backbone_only:
         params["fpn"] = _fpn_tree(layers)
         cls, box, dim = _head_trees(layers, num_anchors)
         params["classification"] = cls
         params["regression"] = box
         params["regression_dim"] = dim
-    return {"params": params, "frozen": frozen}
+    out = {"params": params}
+    if bb_frozen:  # VGG has no BN -> no frozen collection at all
+        out["frozen"] = {"backbone": bb_frozen}
+    return out
 
 
 def merge_backbone(variables, imported):
@@ -246,6 +332,9 @@ def merge_backbone(variables, imported):
     """
     params = dict(variables["params"])
     params["backbone"] = imported["params"]["backbone"]
-    frozen = dict(variables.get("frozen", {}))
-    frozen["backbone"] = imported["frozen"]["backbone"]
-    return {**variables, "params": params, "frozen": frozen}
+    out = {**variables, "params": params}
+    if "frozen" in imported:
+        frozen = dict(variables.get("frozen", {}))
+        frozen["backbone"] = imported["frozen"]["backbone"]
+        out["frozen"] = frozen
+    return out

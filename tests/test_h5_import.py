@@ -186,29 +186,36 @@ def _randomize_weights(model, rng):
 def _weight_names(layer):
     if isinstance(layer, keras.layers.BatchNormalization):
         return ["gamma", "beta", "moving_mean", "moving_variance"]
+    if isinstance(layer, keras.layers.DepthwiseConv2D):
+        return ["depthwise_kernel", "bias"][:len(layer.get_weights())]
     n = len(layer.get_weights())
     return ["kernel", "bias"][:n]
 
 
-def write_keras22_h5(path, model):
+def write_keras22_h5(path, model, rename=None):
     """Serialize weights in the Keras 2.2 full-model h5 layout:
     model_weights/<top layer>/<owning layer>/<weight>:0 (nested submodels
     store their inner layers one group deeper, exactly like the reference's
-    trained checkpoints)."""
+    trained checkpoints). `rename` maps Keras-3 layer names back to their
+    Keras-2 spellings (e.g. densenet 'conv1_conv' -> 'conv1/conv')."""
     import h5py
+
+    rename = rename or {}
 
     with h5py.File(path, "w") as f:
         mw = f.create_group("model_weights")
         for layer in model.layers:
             if isinstance(layer, keras.Model):
-                g = mw.create_group(layer.name)
+                g = mw.create_group(rename.get(layer.name, layer.name))
                 for sub in layer.layers:
+                    name = rename.get(sub.name, sub.name)
                     for n, w in zip(_weight_names(sub), sub.get_weights()):
-                        g.create_dataset(f"{sub.name}/{n}:0", data=w)
+                        g.create_dataset(f"{name}/{n}:0", data=w)
             elif layer.get_weights():
-                g = mw.create_group(layer.name)
+                name = rename.get(layer.name, layer.name)
+                g = mw.require_group(name)
                 for n, w in zip(_weight_names(layer), layer.get_weights()):
-                    g.create_dataset(f"{layer.name}/{n}:0", data=w)
+                    g.create_dataset(f"{name}/{n}:0", data=w)
 
 
 # ---------------------------------------------------------------------------
@@ -336,6 +343,62 @@ def test_convert_model_cli_from_h5(resnet50_h5, tmp_path):
     np.testing.assert_array_equal(
         variables["params"]["regression"]["box_out"]["kernel"],
         src["params"]["regression"]["box_out"]["kernel"])
+
+
+_FAMILIES = {
+    # family: (keras.applications ctor kwargs, C3/C4/C5 keras layer names,
+    #          our registry name)
+    "vgg16": ({}, ["block3_pool", "block4_pool", "block5_pool"], "vgg16"),
+    "mobilenet": ({"alpha": 1.0},
+                  ["conv_pw_5_relu", "conv_pw_11_relu", "conv_pw_13_relu"],
+                  "mobilenet224_1.0"),
+    "densenet121": ({}, ["conv3_block12_concat", "conv4_block24_concat",
+                         "conv5_block16_concat"], "densenet121"),
+}
+
+
+@pytest.mark.parametrize("family", sorted(_FAMILIES))
+def test_backbone_import_matches_keras_applications(family, tmp_path):
+    """VGG / MobileNet / DenseNet h5 import: features C3/C4/C5 from our
+    flax backbone must reproduce keras.applications' (the reference's
+    actual backbone implementations) on the same randomized weights."""
+    kwargs, out_layers, registry_name = _FAMILIES[family]
+    ctor = {"vgg16": keras.applications.VGG16,
+            "mobilenet": keras.applications.MobileNet,
+            "densenet121": keras.applications.DenseNet121}[family]
+    kmodel = ctor(weights=None, include_top=False,
+                  input_shape=(64, 64, 3), **kwargs)
+    _randomize_weights(kmodel, np.random.RandomState(11))
+
+    # Keras 3 forbids '/' in names; the reference's Keras 2 h5s use the
+    # slashed densenet stem names — write the fixture with those.
+    rename = {"conv1_conv": "conv1/conv", "conv1_bn": "conv1/bn"} \
+        if family == "densenet121" else {}
+    path = str(tmp_path / f"{family}.h5")
+    write_keras22_h5(path, kmodel, rename=rename)
+
+    imported = load_reference_h5(path, backbone=registry_name,
+                                 backbone_only=True)
+    variables = {"params": imported["params"]["backbone"]}
+    if "frozen" in imported:
+        variables["frozen"] = imported["frozen"]["backbone"]
+
+    from ground_plane_polling_tpu.models import backbone_registry
+    module = backbone_registry()[registry_name](dtype=jnp.float32)
+
+    rng = np.random.RandomState(5)
+    image = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    ours = module.apply(variables, jnp.asarray(image))
+
+    probe = keras.Model(
+        kmodel.inputs, [kmodel.get_layer(n).output for n in out_layers])
+    theirs = [np.asarray(t) for t in probe(image, training=False)]
+
+    for level, (a, b) in enumerate(zip(ours, theirs)):
+        scale = max(float(np.max(np.abs(b))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a), b, atol=2e-4 * scale, rtol=0,
+            err_msg=f"{family} C{level + 3}")
 
 
 def test_numerical_block_names_resolve():
