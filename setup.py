@@ -21,6 +21,8 @@ setup(
             "ground_plane_polling_tpu.bin.evaluate:main",
             "gpp-tpu-prepare-data="
             "ground_plane_polling_tpu.bin.prepare_data:main",
+            "gpp-tpu-logs-to-tb="
+            "ground_plane_polling_tpu.bin.logs_to_tb:main",
         ],
     },
 )

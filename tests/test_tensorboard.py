@@ -127,3 +127,13 @@ def test_fit_writes_tensorboard(tmp_path):
     assert "loss" in tags and "lr" in tags
     steps = {e.step for e in events if e.summary.value}
     assert steps == {0, 1}
+
+
+def test_logs_to_tb_cli(tmp_path):
+    from ground_plane_polling_tpu.bin.logs_to_tb import main
+
+    jsonl = tmp_path / "log.jsonl"
+    jsonl.write_text(json.dumps({"epoch": 0, "loss": 1.0}) + "\n")
+    main([str(jsonl), str(tmp_path / "tb")])
+    events = _read_events(str(tmp_path / "tb"))
+    assert any(v.tag == "loss" for e in events for v in e.summary.value)
