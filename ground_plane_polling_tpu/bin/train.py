@@ -47,6 +47,9 @@ def parse_args(argv):
                    help="Initialize from an exported .npz weight file.")
     p.add_argument("--data-parallel", action="store_true",
                    help="Shard the batch over all visible devices.")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize backbone blocks on backward "
+                        "(jax.checkpoint): less HBM, ~1 extra forward")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay f32).")
     p.add_argument("--log-path", default="training_log.jsonl")
@@ -91,7 +94,7 @@ def main(argv=None):
             image_max_side=args.image_max_side, shuffle=False)
 
     model = build_detector(args.backbone, num_classes=train_ds.num_classes,
-                           dtype=dtype)
+                           dtype=dtype, remat=args.remat)
     variables = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, *train_loader.image_shape, 3), jnp.float32))

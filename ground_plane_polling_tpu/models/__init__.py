@@ -19,9 +19,9 @@ from .retinanet import GPPRetinaNet
 __all__ = ["backbone_registry", "build_detector", "GPPRetinaNet"]
 
 
-def _resnet(name: str, dtype):
+def _resnet(name: str, dtype, remat: bool = False):
     return ResNetBackbone(stage_sizes=RESNET_STAGES[name], dtype=dtype,
-                          name="backbone")
+                          remat=remat, name="backbone")
 
 
 def backbone_registry():
@@ -39,14 +39,23 @@ def backbone_registry():
 
 def build_detector(backbone: str = "resnet50", num_classes: int = 1,
                    dtype: Any = jnp.float32,
-                   pack_levels: bool = False) -> GPPRetinaNet:
+                   pack_levels: bool = False,
+                   remat: bool = False) -> GPPRetinaNet:
+    """remat rematerializes backbone blocks on the backward pass
+    (jax.checkpoint) to trade FLOPs for training HBM; resnet family only."""
     reg = backbone_registry()
     if backbone not in reg:
         raise ValueError(
             f"unknown backbone {backbone!r}; available: {sorted(reg)}")
     ctor = reg[backbone]
+    if remat:
+        if backbone not in RESNET_STAGES:
+            raise ValueError("remat is implemented for the resnet family")
+        backbone_fn = functools.partial(ctor, dtype=dtype, remat=True)
+    else:
+        backbone_fn = functools.partial(ctor, dtype=dtype)
     return GPPRetinaNet(
-        backbone_fn=functools.partial(ctor, dtype=dtype),
+        backbone_fn=backbone_fn,
         num_classes=num_classes,
         dtype=dtype,
         pack_levels=pack_levels,

@@ -58,10 +58,17 @@ class BottleneckBlock(nn.Module):
 
 
 class ResNetBackbone(nn.Module):
-    """ResNet v1; __call__ returns (C3, C4, C5)."""
+    """ResNet v1; __call__ returns (C3, C4, C5).
+
+    remat=True rematerializes each bottleneck block on the backward pass
+    (jax.checkpoint): activations are recomputed instead of stored, cutting
+    training HBM at the cost of ~1 extra forward — the standard TPU trade
+    for deeper backbones (resnet101/152) or bigger batches.
+    """
 
     stage_sizes: Sequence[int] = RESNET_STAGES["resnet50"]
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -76,12 +83,13 @@ class ResNetBackbone(nn.Module):
         x = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="bn1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 
+        block_cls = nn.remat(BottleneckBlock) if self.remat else BottleneckBlock
         outputs = []
         widths = (64, 128, 256, 512)
         for stage, (n_blocks, w) in enumerate(zip(self.stage_sizes, widths)):
             for block in range(n_blocks):
                 stride = 2 if (block == 0 and stage > 0) else 1
-                x = BottleneckBlock(
+                x = block_cls(
                     filters=w,
                     stride=stride,
                     project=(block == 0),

@@ -40,6 +40,7 @@ def _inputs(batch, rng):
     return images, P_inv, planes
 
 
+@pytest.mark.slow
 def test_sharded_detect_matches_single(rng):
     assert jax.device_count() >= 8
     model = build_detector("tiny")
@@ -64,6 +65,7 @@ def test_sharded_detect_matches_single(rng):
             rtol=1e-5, atol=1e-5, err_msg=field)
 
 
+@pytest.mark.slow
 def test_sharded_evaluate_matches_single(tmp_path):
     """evaluate_model(mesh=...) groups same-shape images into sharded
     batches (padding the short final group) and must reproduce the batch-1

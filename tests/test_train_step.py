@@ -135,3 +135,45 @@ def test_sharded_matches_single_device():
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-6)
+
+
+def test_remat_gradients_match():
+    """remat=True (jax.checkpoint on backbone blocks) must not change the
+    computed gradients — only the memory/recompute schedule."""
+    import optax
+
+    from ground_plane_polling_tpu.training.train import compute_losses
+
+    img = (64, 64)
+    n_anchors = anchor_ops.num_anchors_for_shape(img)
+    base = build_detector("resnet50")
+    remat = build_detector("resnet50", remat=True)
+    variables = base.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, *img, 3), jnp.float32))
+
+    batch = {
+        "image": np.random.RandomState(0).uniform(
+            -1, 1, (1, *img, 3)).astype(np.float32),
+        "labels": np.zeros((1, n_anchors, 8), np.float32),
+        "regression": np.zeros((1, n_anchors, 13), np.float32),
+        "regression_dim": np.zeros((1, n_anchors, 4), np.float32),
+    }
+    batch["labels"][:, :3, 2] = 1.0
+    batch["regression"][:, :3, 12] = 1.0
+    batch["regression_dim"][:, :3, 3] = 1.0
+
+    def grads(model):
+        def loss_fn(params):
+            total, _ = compute_losses(model, params, variables["frozen"],
+                                      batch)
+            return total
+        return jax.grad(loss_fn)(variables["params"])
+
+    g1 = grads(base)
+    g2 = grads(remat)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat2 = jax.tree_util.tree_leaves(g2)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
