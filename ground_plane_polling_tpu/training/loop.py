@@ -31,7 +31,7 @@ __all__ = ["evaluate_model", "fit"]
 
 def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
                    score_threshold: float = 0.05, max_detections: int = 100,
-                   iou_threshold: float = 0.5, mesh=None):
+                   iou_threshold: float = 0.5, mesh=None, **detect_kwargs):
     """Full validation sweep -> (mean_ap, errors dict, per-bucket APs).
 
     With `mesh`, images of the same padded shape are grouped into mesh-sized
@@ -48,7 +48,7 @@ def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
             detect_fns[shape] = make_detect_fn(
                 model, shape, num_classes=num_classes,
                 score_threshold=score_threshold,
-                max_detections=max_detections, mesh=mesh)
+                max_detections=max_detections, mesh=mesh, **detect_kwargs)
         return detect_fns[shape]
 
     variables = {"params": state.params, "frozen": state.frozen}
