@@ -1,0 +1,169 @@
+"""Batched micro-serving CLI: watch a directory, detect in fixed-size
+batches, write KITTI-format results as images arrive.
+
+The reference's deployment story is run_network's one-image-at-a-time loop
+(/root/reference/keras_retinanet_3D/bin/run_network.py:90-135). On TPU,
+batch >= 4 amortizes the per-dispatch overhead and saturates the chip
+(docs/PERFORMANCE.md: 158-161 img/s aggregate vs ~125 at batch 1), so this
+service micro-batches: new images are grouped by padded shape into
+fixed-size batches (short groups padded by repeating the last image — the
+padding rows are discarded), run through ONE compiled program per shape,
+and written out per image.
+
+  python -m ground_plane_polling_tpu.bin.serve model.npz \
+      incoming_images/ calibs/ planes.mat out/ --batch-size 8 [--once]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(
+        description="Micro-batching detection service over a directory.")
+    p.add_argument("model_path", help=".npz weights (with .json sidecar)")
+    p.add_argument("image_dir", help="directory to watch for images")
+    p.add_argument("calib_dir")
+    p.add_argument("plane_params_path")
+    p.add_argument("output_dir")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--poll-interval", type=float, default=0.5)
+    p.add_argument("--once", action="store_true",
+                   help="process what's there, then exit (no watching)")
+    p.add_argument("--score-threshold", type=float, default=0.05)
+    p.add_argument("--backbone", default=None)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data.kitti import preprocess_image, read_image_bgr, resize_scale
+    from ..data.label_prep import read_calibration
+    from ..data.pipeline import _resize_image
+    from ..data.planes import load_plane_database
+    from ..inference import make_detect_fn
+    from ..models import build_detector
+    from ..training.checkpoint import import_params
+    from ..utils.kitti_writer import write_kitti_file
+
+    cfg = {}
+    if os.path.exists(args.model_path + ".json"):
+        with open(args.model_path + ".json") as f:
+            cfg = json.load(f)
+    backbone = args.backbone or cfg.get("backbone", "resnet50")
+    num_classes = cfg.get("num_classes", 1)
+
+    variables = import_params(args.model_path)
+    model = build_detector(
+        backbone, num_classes=num_classes,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    planes = load_plane_database(args.plane_params_path)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    detect_fns = {}
+
+    def get_fn(shape):
+        if shape not in detect_fns:
+            detect_fns[shape] = make_detect_fn(
+                model, shape, num_classes=num_classes, with_pose=True,
+                nms=cfg.get("nms", True),
+                class_specific=cfg.get("class_specific_filter", True),
+                orientation_specific=cfg.get("orientation_specific_filter",
+                                             False))
+        return detect_fns[shape]
+
+    def load_item(stem):
+        for ext in (".png", ".jpg"):
+            fp = os.path.join(args.image_dir, stem + ext)
+            if os.path.exists(fp):
+                break
+        else:
+            return None
+        raw = read_image_bgr(fp)
+        scale = resize_scale(raw.shape[:2])
+        resized = _resize_image(raw.astype(np.float32), scale)
+        ph = int(np.ceil(resized.shape[0] / 128)) * 128
+        pw = int(np.ceil(resized.shape[1] / 128)) * 128
+        padded = np.zeros((ph, pw, 3), np.float32)
+        padded[: resized.shape[0], : resized.shape[1]] = resized
+        P = read_calibration(os.path.join(args.calib_dir, stem + ".txt"))
+        P_inv = np.linalg.pinv(np.diag([scale, scale, 1.0]) @ P)
+        return {"stem": stem, "shape": (ph, pw), "scale": scale,
+                "image": preprocess_image(padded),
+                "P_inv": P_inv.astype(np.float32),
+                "image_hw": raw.shape[:2]}
+
+    def run_batch(items):
+        """items share one padded shape; pads to batch_size by repetition."""
+        n = len(items)
+        items = items + [items[-1]] * (args.batch_size - n)
+        fn = get_fn(items[0]["shape"])
+        out = fn(
+            variables,
+            np.stack([it["image"] for it in items]),
+            np.stack([it["P_inv"] for it in items]),
+            np.tile(planes[None].astype(np.float32),
+                    (args.batch_size, 1, 1)))
+        out = {k: np.asarray(v) for k, v in out._asdict().items()}
+        for j in range(n):
+            it = items[j]
+            keep = out["scores"][j] > args.score_threshold
+            write_kitti_file(
+                os.path.join(args.output_dir, it["stem"] + ".txt"),
+                out["boxes"][j][keep] / it["scale"], out["scores"][j][keep],
+                out["locations"][j][keep], out["angles"][j][keep],
+                out["pose_dims"][j][keep], it["image_hw"])
+        return n
+
+    done = set()
+    total = 0
+    t_start = time.time()
+    while True:
+        stems = sorted(
+            f.rsplit(".", 1)[0] for f in os.listdir(args.image_dir)
+            if f.endswith((".png", ".jpg")))
+        fresh = [s for s in stems if s not in done
+                 and os.path.exists(os.path.join(args.calib_dir, s + ".txt"))]
+        if not fresh:
+            if args.once:
+                break
+            time.sleep(args.poll_interval)
+            continue
+
+        buckets = {}
+        for stem in fresh:
+            item = load_item(stem)
+            if item is not None:
+                buckets.setdefault(item["shape"], []).append(item)
+            done.add(stem)
+        t0 = time.time()
+        n_round = 0
+        for shape, items in buckets.items():
+            for st in range(0, len(items), args.batch_size):
+                n_round += run_batch(items[st:st + args.batch_size])
+        total += n_round
+        dt = time.time() - t0
+        print(f"served {n_round} images in {dt:.2f}s "
+              f"({n_round / max(dt, 1e-9):.1f} img/s); total {total}",
+              flush=True)
+        if args.once and not args.poll_interval:
+            break
+    if total:
+        print(f"done: {total} images in {time.time() - t_start:.2f}s",
+              flush=True)
+    return total
+
+
+if __name__ == "__main__":
+    main()

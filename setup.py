@@ -23,6 +23,8 @@ setup(
             "ground_plane_polling_tpu.bin.prepare_data:main",
             "gpp-tpu-logs-to-tb="
             "ground_plane_polling_tpu.bin.logs_to_tb:main",
+            "gpp-tpu-serve="
+            "ground_plane_polling_tpu.bin.serve:main",
         ],
     },
 )

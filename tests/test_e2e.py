@@ -182,3 +182,30 @@ def test_prepare_data_cli(tmp_path):
     lab_dir = os.path.join(out, "train", "labels")
     row = open(os.path.join(lab_dir, os.listdir(lab_dir)[0])).readline()
     assert len(row.split()) == 20
+
+
+def test_serve_cli(trained, tmp_path):
+    """Micro-batching serve CLI: --once over the val split, fixed batch
+    with repeat-padding, one KITTI txt per real image."""
+    kitti_root, out, _ = trained
+    from ground_plane_polling_tpu.bin.convert_model import main as convert
+    from ground_plane_polling_tpu.bin.serve import main as serve
+
+    snaps = os.path.join(out, "snapshots")
+    latest = sorted(os.listdir(snaps))[-1]
+    model_out = str(tmp_path / "serve_model.npz")
+    convert([os.path.join(snaps, latest), model_out, "--backbone", "tiny"])
+
+    out_dir = str(tmp_path / "served")
+    n = serve([
+        model_out,
+        os.path.join(kitti_root, "val", "images"),
+        os.path.join(kitti_root, "val", "calibs"),
+        os.path.join(kitti_root, "road_planes_database.mat"),
+        out_dir, "--batch-size", "2", "--once", "--no-bf16",
+    ])
+    stems = [f.rsplit(".", 1)[0]
+             for f in os.listdir(os.path.join(kitti_root, "val", "images"))]
+    assert n == len(stems)
+    for stem in stems:
+        assert os.path.exists(os.path.join(out_dir, stem + ".txt"))
