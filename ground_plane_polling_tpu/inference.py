@@ -174,6 +174,7 @@ class GPPDetector:
                  dtype: Any = jnp.float32, **filter_kwargs):
         self.model = build_detector(backbone, num_classes=num_classes,
                                     dtype=dtype)
+        self.backbone = backbone
         self.num_classes = num_classes
         self.filter_kwargs = filter_kwargs
         self.variables = None
@@ -185,10 +186,17 @@ class GPPDetector:
         return self.variables
 
     def load(self, weights_path: str):
-        """Load exported .npz inference weights (convert-model artifact)."""
-        from .training.checkpoint import import_params
+        """Load exported .npz inference weights (convert-model artifact) or
+        a reference Keras .h5 checkpoint (mapped via models.h5_import)."""
+        if weights_path.endswith((".h5", ".hdf5")):
+            from .models.h5_import import load_reference_h5
 
-        self.variables = import_params(weights_path)
+            self.variables = load_reference_h5(weights_path,
+                                               backbone=self.backbone)
+        else:
+            from .training.checkpoint import import_params
+
+            self.variables = import_params(weights_path)
         return self.variables
 
     def __call__(self, images, P_inv, planes, with_pose: bool = False):
