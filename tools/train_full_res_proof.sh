@@ -15,9 +15,23 @@ ROOT=/tmp/full_res_kitti
 OUT=/tmp/full_res_proof
 rm -rf "$OUT"; mkdir -p "$OUT"
 
+wait_healthy() {
+  for i in $(seq 1 30); do
+    if timeout 150 python -c "
+import jax, jax.numpy as jnp
+(jnp.ones((4,4)) @ jnp.ones((4,4))).block_until_ready()
+" >/dev/null 2>&1; then return 0; fi
+    echo "[wait_healthy] relay not ready ($i)" >&2
+    sleep 60
+  done
+  return 1
+}
+
 retry() {
-  # the axon relay registration fails transiently; retry each phase
+  # the axon relay claim/registration fails transiently; wait for a healthy
+  # relay then attempt, a few times
   for attempt in 1 2 3 4 5; do
+    wait_healthy || true
     if "$@"; then return 0; fi
     echo "[retry] attempt $attempt failed; waiting 60s" >&2
     sleep 60
