@@ -171,11 +171,16 @@ class GPPDetector:
     """
 
     def __init__(self, backbone: str = "resnet50", num_classes: int = 1,
-                 dtype: Any = jnp.float32, **filter_kwargs):
+                 dtype: Any = jnp.float32, fuse_towers: bool = False,
+                 **filter_kwargs):
+        """fuse_towers runs the cls+dim heads as one block-diagonal tower
+        (exact same outputs, fewer/wider convs — see heads.FusedClsDimHead);
+        weights loaded from standard checkpoints are converted on load."""
         self.model = build_detector(backbone, num_classes=num_classes,
-                                    dtype=dtype)
+                                    dtype=dtype, fuse_cls_dim=fuse_towers)
         self.backbone = backbone
         self.num_classes = num_classes
+        self.fuse_towers = fuse_towers
         self.filter_kwargs = filter_kwargs
         self.variables = None
         self._fns = {}
@@ -197,6 +202,10 @@ class GPPDetector:
             from .training.checkpoint import import_params
 
             self.variables = import_params(weights_path)
+        if self.fuse_towers:
+            from .models import fuse_detector_params
+
+            self.variables = fuse_detector_params(self.variables)
         return self.variables
 
     def __call__(self, images, P_inv, planes, with_pose: bool = False):

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from .resnet import RESNET_STAGES, ResNetBackbone
 from .retinanet import GPPRetinaNet
 
-__all__ = ["backbone_registry", "build_detector", "GPPRetinaNet"]
+__all__ = ["backbone_registry", "build_detector", "fuse_detector_params",
+           "GPPRetinaNet"]
 
 
 def _resnet(name: str, dtype, remat: bool = False):
@@ -40,9 +41,13 @@ def backbone_registry():
 def build_detector(backbone: str = "resnet50", num_classes: int = 1,
                    dtype: Any = jnp.float32,
                    pack_levels: bool = False,
+                   fuse_cls_dim: bool = False,
                    remat: bool = False) -> GPPRetinaNet:
     """remat rematerializes backbone blocks on the backward pass
-    (jax.checkpoint) to trade FLOPs for training HBM; resnet family only."""
+    (jax.checkpoint) to trade FLOPs for training HBM; resnet family only.
+    fuse_cls_dim runs the classification+dimension heads as one
+    block-diagonal tower (inference-only; convert standard weights with
+    fuse_detector_params)."""
     reg = backbone_registry()
     if backbone not in reg:
         raise ValueError(
@@ -59,4 +64,24 @@ def build_detector(backbone: str = "resnet50", num_classes: int = 1,
         num_classes=num_classes,
         dtype=dtype,
         pack_levels=pack_levels,
+        fuse_cls_dim=fuse_cls_dim,
     )
+
+
+def fuse_detector_params(variables):
+    """Convert a standard detector param tree to the fuse_cls_dim layout.
+
+    Replaces the 'classification' and 'regression_dim' head subtrees with
+    one 'clsdim' subtree of block-diagonal kernels (exact weight-space
+    transform — see heads.fuse_cls_dim_params). Other collections
+    (batch_stats etc.) pass through untouched.
+    """
+    from .heads import fuse_cls_dim_params
+
+    variables = dict(variables)
+    params = dict(variables["params"])
+    cls_p = params.pop("classification")
+    dim_p = params.pop("regression_dim")
+    params["clsdim"] = fuse_cls_dim_params(cls_p, dim_p)
+    variables["params"] = params
+    return variables

@@ -21,7 +21,8 @@ import numpy as np
 from flax import linen as nn
 
 from .fpn import FPN
-from .heads import BoxRegressionHead, ClassificationHead, DimRegressionHead
+from .heads import (BoxRegressionHead, ClassificationHead, DimRegressionHead,
+                    FusedClsDimHead)
 
 __all__ = ["GPPRetinaNet"]
 
@@ -81,6 +82,11 @@ class GPPRetinaNet(nn.Module):
     # levels. Off by default to keep the reference-parity graph literal;
     # the serving/bench configs turn it on.
     pack_levels: bool = False
+    # run the classification and dimension heads as ONE block-diagonal
+    # 384-wide tower (exact same math; see heads.FusedClsDimHead).
+    # Inference-only: params come from heads.fuse_cls_dim_params /
+    # models.fuse_detector_params, training keeps the split tree.
+    fuse_cls_dim: bool = False
 
     @nn.compact
     def __call__(self, images):
@@ -88,14 +94,20 @@ class GPPRetinaNet(nn.Module):
         features = FPN(feature_size=self.feature_size, dtype=self.dtype,
                        name="fpn")(c3, c4, c5)
 
-        cls_head = ClassificationHead(
-            num_classes=self.num_classes, num_anchors=self.num_anchors,
-            dtype=self.dtype, name="classification")
         box_head = BoxRegressionHead(
             num_anchors=self.num_anchors, dtype=self.dtype, name="regression")
-        dim_head = DimRegressionHead(
-            num_classes=self.num_classes, num_anchors=self.num_anchors,
-            dtype=self.dtype, name="regression_dim")
+        if self.fuse_cls_dim:
+            clsdim_head = FusedClsDimHead(
+                num_classes=self.num_classes, num_anchors=self.num_anchors,
+                dtype=self.dtype, name="clsdim")
+            cls_head = dim_head = None
+        else:
+            cls_head = ClassificationHead(
+                num_classes=self.num_classes, num_anchors=self.num_anchors,
+                dtype=self.dtype, name="classification")
+            dim_head = DimRegressionHead(
+                num_classes=self.num_classes, num_anchors=self.num_anchors,
+                dtype=self.dtype, name="regression_dim")
 
         if self.pack_levels:
             packed, mask, layout = _pack_tail(features[1:])
@@ -105,19 +117,32 @@ class GPPRetinaNet(nn.Module):
                 mt = head(packed, mask=mask, flatten=False)
                 maps = [m3] + [mt[:, r:r + h, c:c + w]
                                for (r, c, h, w) in layout]
-                return jnp.concatenate(
-                    [head.finalize(m) for m in maps], axis=1)
+                fin = [head.finalize(m) for m in maps]
+                if isinstance(fin[0], tuple):  # FusedClsDimHead
+                    return tuple(jnp.concatenate(p, axis=1)
+                                 for p in zip(*fin))
+                return jnp.concatenate(fin, axis=1)
 
             regression = run(box_head)
-            regression_dim = run(dim_head)
-            classification = run(cls_head)
+            if self.fuse_cls_dim:
+                classification, regression_dim = run(clsdim_head)
+            else:
+                regression_dim = run(dim_head)
+                classification = run(cls_head)
         else:
             regression = jnp.concatenate(
                 [box_head(f) for f in features], axis=1)
-            regression_dim = jnp.concatenate(
-                [dim_head(f) for f in features], axis=1)
-            classification = jnp.concatenate(
-                [cls_head(f) for f in features], axis=1)
+            if self.fuse_cls_dim:
+                parts = [clsdim_head(f) for f in features]
+                classification = jnp.concatenate(
+                    [p[0] for p in parts], axis=1)
+                regression_dim = jnp.concatenate(
+                    [p[1] for p in parts], axis=1)
+            else:
+                regression_dim = jnp.concatenate(
+                    [dim_head(f) for f in features], axis=1)
+                classification = jnp.concatenate(
+                    [cls_head(f) for f in features], axis=1)
 
         return {
             "regression": regression,

@@ -125,3 +125,74 @@ def test_pack_levels_matches_unpacked():
         np.testing.assert_allclose(
             np.asarray(out_b[k]), np.asarray(out_a[k]),
             rtol=1e-5, atol=1e-5, err_msg=k)
+
+
+def test_fuse_cls_dim_matches_split_heads():
+    """fuse_cls_dim=True (cls+dim heads as one block-diagonal 384-wide
+    tower, see heads.FusedClsDimHead) must reproduce the split-head outputs
+    exactly after the fuse_detector_params weight transform."""
+    from ground_plane_polling_tpu.models import fuse_detector_params
+
+    img = (128, 192)
+    base = build_detector("tiny")
+    fused = build_detector("tiny", fuse_cls_dim=True)
+    x = jnp.asarray(
+        np.random.RandomState(1).uniform(-1, 1, (2, *img, 3)), jnp.float32)
+    variables = base.init(jax.random.PRNGKey(0), x)
+
+    # perturb all head params so zero-init kernels/biases are load-bearing
+    def perturb(tree, key=[100]):
+        def f(p):
+            key[0] += 1
+            r = np.random.RandomState(key[0])
+            return p + jnp.asarray(r.normal(0, 0.05, p.shape), p.dtype)
+        return jax.tree.map(f, tree)
+
+    params = dict(variables["params"])
+    for head in ("classification", "regression", "regression_dim"):
+        params[head] = perturb(variables["params"][head])
+    variables = {**variables, "params": params}
+
+    out_a = base.apply(variables, x)
+    out_b = fused.apply(fuse_detector_params(variables), x)
+    for k in out_a:
+        np.testing.assert_allclose(
+            np.asarray(out_b[k]), np.asarray(out_a[k]),
+            rtol=1e-5, atol=1e-5, err_msg=k)
+
+    # param-tree sanity: fused tree swaps the two head subtrees for one
+    fv = fuse_detector_params(variables)
+    assert "clsdim" in fv["params"]
+    assert "classification" not in fv["params"]
+    assert "regression_dim" not in fv["params"]
+
+
+def test_fuse_cls_dim_with_pack_levels():
+    """Fusion composes with the packed-canvas scheduling."""
+    from ground_plane_polling_tpu.models import fuse_detector_params
+
+    img = (128, 192)
+    base = build_detector("tiny")
+    fused = build_detector("tiny", fuse_cls_dim=True, pack_levels=True)
+    x = jnp.asarray(
+        np.random.RandomState(2).uniform(-1, 1, (1, *img, 3)), jnp.float32)
+    variables = base.init(jax.random.PRNGKey(0), x)
+
+    def perturb(tree, key=[200]):
+        def f(p):
+            key[0] += 1
+            r = np.random.RandomState(key[0])
+            return p + jnp.asarray(r.normal(0, 0.05, p.shape), p.dtype)
+        return jax.tree.map(f, tree)
+
+    params = dict(variables["params"])
+    for head in ("classification", "regression", "regression_dim"):
+        params[head] = perturb(variables["params"][head])
+    variables = {**variables, "params": params}
+
+    out_a = base.apply(variables, x)
+    out_b = fused.apply(fuse_detector_params(variables), x)
+    for k in out_a:
+        np.testing.assert_allclose(
+            np.asarray(out_b[k]), np.asarray(out_a[k]),
+            rtol=1e-4, atol=2e-5, err_msg=k)
