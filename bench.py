@@ -21,7 +21,9 @@ pipeline on a contemporary GPU. vs_baseline is reported against 10 img/s —
 a deliberately generous estimate — so vs_baseline = measured / 10.0.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Env overrides: GPP_BENCH_PLANES, GPP_BENCH_BATCH.
+Env overrides: GPP_BENCH_PLANES, GPP_BENCH_BATCH, GPP_BENCH_FUSE
+(=1 runs the cls+dim heads as one block-diagonal tower — exact same
+outputs, see models.heads.FusedClsDimHead).
 """
 
 import json
@@ -44,6 +46,7 @@ N_PLANES = int(os.environ.get("GPP_BENCH_PLANES", 1024))
 BATCH = int(os.environ.get("GPP_BENCH_BATCH", 1))
 N1, N2 = 5, 25
 REPEATS = int(os.environ.get("GPP_BENCH_REPEATS", 3))
+FUSE = os.environ.get("GPP_BENCH_FUSE", "0") == "1"
 
 
 def chained_run(fn, variables, images, P_inv, planes, iters):
@@ -66,6 +69,12 @@ def main():
     model = build_detector("resnet50", num_classes=1, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, *IMAGE_SHAPE, 3), jnp.float32))
+    if FUSE:
+        from ground_plane_polling_tpu.models import fuse_detector_params
+
+        model = build_detector("resnet50", num_classes=1, dtype=jnp.bfloat16,
+                               fuse_cls_dim=True)
+        variables = fuse_detector_params(variables)
     fn = make_detect_fn(model, IMAGE_SHAPE, num_classes=1, with_pose=True)
 
     images = jnp.asarray(

@@ -133,6 +133,56 @@ def main():
           f"heads(sum, separate) {t_heads_sum*1e3:.2f} | "
           f"full {t_full*1e3:.2f} ms", flush=True)
 
+    # ---- fused cls+dim tower (block-diagonal 384-wide) ---------------------
+    from ground_plane_polling_tpu.models import fuse_detector_params
+    from ground_plane_polling_tpu.models.heads import FusedClsDimHead
+
+    fused_vars = fuse_detector_params(variables)
+    fh = FusedClsDimHead(dtype=DTYPE, name="clsdim")
+    fhv = {"params": fused_vars["params"]["clsdim"]}
+
+    def fused_head_fn(f0):
+        outs = [fh.apply(fhv, f0)] + [fh.apply(fhv, f) for f in feats[1:]]
+        return jnp.concatenate([o[0] for o in outs], axis=1)
+
+    t_fused_head = chained_time(
+        jax.jit(fused_head_fn), feats[0], lambda o: o[0, 0, 0],
+        "head cls+dim FUSED (width 384)")
+    f_fused = 0.0
+    for h, w in shapes:
+        f_fused += conv_flops(h, w, 512, 384)
+        f_fused += 3 * conv_flops(h, w, 384, 384)
+        f_fused += conv_flops(h, w, 384, 132)
+    print(f"clsdim fused    : {f_fused/1e9:7.1f} GFLOP  measured "
+          f"{t_fused_head*1e3:7.3f} ms -> {f_fused/t_fused_head/1e12:6.1f} "
+          f"TFLOP/s  (split towers summed: "
+          f"{1e3*(head_times['classification']+head_times['regression_dim']):.3f} ms)",
+          flush=True)
+
+    # ---- full forward with fused towers ------------------------------------
+    fused_model = build_detector("resnet50", num_classes=1, dtype=DTYPE,
+                                 fuse_cls_dim=True)
+    ffwd = jax.jit(lambda im: fused_model.apply(fused_vars, im))
+    chained_time(ffwd, images, lambda o: o["regression"][0, 0, 0],
+                 "full forward FUSED cls+dim")
+
+    # ---- diagnostic: single 3x3 conv rate vs width on the P3 grid ----------
+    h3, w3 = shapes[0]
+    print(f"\nsingle 3x3 conv on P3 grid ({h3}x{w3}), bf16:", flush=True)
+    for width in (128, 256, 384, 512, 768):
+        k = jnp.asarray(rng.normal(0, 0.01, (3, 3, 512, width)), DTYPE)
+        x0 = jnp.asarray(rng.normal(0, 1, (1, h3, w3, 512)), DTYPE)
+
+        def conv_fn(x, _k=k):
+            return jax.lax.conv_general_dilated(
+                x, _k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        t = chained_time(jax.jit(conv_fn), x0, lambda o: o[0, 0, 0, 0],
+                         f"  conv 512->{width}")
+        f = conv_flops(h3, w3, 512, width)
+        print(f"    -> {f/t/1e12:6.1f} TFLOP/s", flush=True)
+
 
 if __name__ == "__main__":
     main()
