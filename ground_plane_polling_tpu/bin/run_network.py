@@ -39,6 +39,9 @@ def parse_args(argv):
     p.add_argument("--score-threshold", type=float, default=0.05)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--fuse-towers", action="store_true",
+                   help="run the cls+dim heads as one block-diagonal tower "
+                        "(identical outputs, faster on TPU)")
     return p.parse_args(argv)
 
 
@@ -66,10 +69,21 @@ def main(argv=None):
     backbone = args.backbone or cfg.get("backbone", "resnet50")
     num_classes = cfg.get("num_classes", 1)
 
-    variables = import_params(args.model_path)
+    if args.model_path.endswith((".h5", ".hdf5")):
+        # reference Keras checkpoint: map weights directly (models/h5_import)
+        from ..models.h5_import import load_reference_h5
+
+        variables = load_reference_h5(args.model_path, backbone=backbone)
+    else:
+        variables = import_params(args.model_path)
     model = build_detector(
         backbone, num_classes=num_classes,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        fuse_cls_dim=args.fuse_towers)
+    if args.fuse_towers:
+        from ..models import fuse_detector_params
+
+        variables = fuse_detector_params(variables)
     planes = load_plane_database(args.plane_params_path)
 
     out_root = os.path.join(

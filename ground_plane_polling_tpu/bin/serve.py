@@ -39,6 +39,9 @@ def parse_args(argv):
     p.add_argument("--backbone", default=None)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--fuse-towers", action="store_true",
+                   help="run the cls+dim heads as one block-diagonal tower "
+                        "(identical outputs, faster on TPU)")
     return p.parse_args(argv)
 
 
@@ -67,7 +70,12 @@ def main(argv=None):
     variables = import_params(args.model_path)
     model = build_detector(
         backbone, num_classes=num_classes,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        fuse_cls_dim=args.fuse_towers)
+    if args.fuse_towers:
+        from ..models import fuse_detector_params
+
+        variables = fuse_detector_params(variables)
     planes = load_plane_database(args.plane_params_path)
     os.makedirs(args.output_dir, exist_ok=True)
 

@@ -209,3 +209,31 @@ def test_serve_cli(trained, tmp_path):
     assert n == len(stems)
     for stem in stems:
         assert os.path.exists(os.path.join(out_dir, stem + ".txt"))
+
+
+def test_run_network_fuse_towers_identical(trained, tmp_path):
+    """--fuse-towers (block-diagonal cls+dim tower) produces identical
+    KITTI-format detections through the real CLI."""
+    kitti_root, out, _ = trained
+    from ground_plane_polling_tpu.bin.convert_model import main as convert
+    from ground_plane_polling_tpu.bin.run_network import main as run_net
+    from ground_plane_polling_tpu.training.checkpoint import latest_checkpoint
+
+    ckpt = latest_checkpoint(os.path.join(out, "snapshots"))
+    weights = str(tmp_path / "model.npz")
+    convert([ckpt, weights, "--backbone", "tiny"])
+
+    outputs = {}
+    for name, extra in (("plain", []), ("fused", ["--fuse-towers"])):
+        out_dir = str(tmp_path / f"results_{name}")
+        run_net([
+            weights,
+            os.path.join(kitti_root, "val", "images"),
+            os.path.join(kitti_root, "val", "calibs"),
+            os.path.join(kitti_root, "road_planes_database.mat"),
+            out_dir, "--kitti", "--no-bf16", *extra,
+        ])
+        kdir = os.path.join(out_dir, "model", "outputs", "kitti")
+        (fn,) = os.listdir(kdir)
+        outputs[name] = open(os.path.join(kdir, fn)).read()
+    assert outputs["fused"] == outputs["plain"]
