@@ -6,7 +6,7 @@
 # One python process at a time; waits for a healthy relay between steps.
 set -uo pipefail
 cd /root/repo
-export PYTHONPATH=/root/repo
+export PYTHONPATH="/root/repo:${PYTHONPATH:-}"
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 
