@@ -29,6 +29,9 @@ def parse_args(argv):
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the eval sweep over all devices (mesh-sized "
                         "batches of same-shape images; identical results)")
+    p.add_argument("--fuse-towers", action="store_true",
+                   help="run the cls+dim heads as one block-diagonal tower "
+                        "(identical outputs, faster on TPU)")
     return p.parse_args(argv)
 
 
@@ -57,8 +60,13 @@ def main(argv=None):
     loader = KittiLoader(ds, batch_size=1,
                          image_min_side=args.image_min_side,
                          image_max_side=args.image_max_side, shuffle=False)
-    model = build_detector(backbone, num_classes=num_classes)
+    model = build_detector(backbone, num_classes=num_classes,
+                           fuse_cls_dim=args.fuse_towers)
     variables = import_params(args.model_path)
+    if args.fuse_towers:
+        from ..models import fuse_detector_params
+
+        variables = fuse_detector_params(variables)
     state = TrainState(step=jnp.zeros((), jnp.int32),
                        params=variables["params"],
                        frozen=variables.get("frozen", {}),

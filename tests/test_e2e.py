@@ -102,6 +102,13 @@ def test_evaluate_cli(trained, tmp_path):
     assert 0.0 <= mean_ap <= 1.0
     assert set(errors) == {"keypoint_error", "height_error", "width_error",
                            "length_error"}
+    # fused cls+dim tower must reproduce the metrics exactly
+    fused_ap, fused_errors = evaluate([
+        weights, kitti_root, "--subset", "val",
+        "--image-min-side", "128", "--image-max-side", "448",
+        "--fuse-towers",
+    ])
+    assert fused_ap == mean_ap and fused_errors == errors
 
 
 def test_debug_cli(trained, tmp_path):
