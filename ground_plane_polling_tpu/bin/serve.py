@@ -112,8 +112,11 @@ def main(argv=None):
                 "P_inv": P_inv.astype(np.float32),
                 "image_hw": raw.shape[:2]}
 
-    def run_batch(items):
-        """items share one padded shape; pads to batch_size by repetition."""
+    def dispatch_batch(items):
+        """items share one padded shape; pads to batch_size by repetition.
+        Returns immediately with device arrays still in flight (jax
+        dispatch is async) — the caller overlaps the next batch's host
+        work and dispatch with this one's device time + relay RTT."""
         n = len(items)
         items = items + [items[-1]] * (args.batch_size - n)
         fn = get_fn(items[0]["shape"])
@@ -123,6 +126,11 @@ def main(argv=None):
             np.stack([it["P_inv"] for it in items]),
             np.tile(planes[None].astype(np.float32),
                     (args.batch_size, 1, 1)))
+        return n, items, out
+
+    def finalize_batch(pending):
+        """Fetch a dispatched batch to the host and write its outputs."""
+        n, items, out = pending
         out = {k: np.asarray(v) for k, v in out._asdict().items()}
         for j in range(n):
             it = items[j]
@@ -157,9 +165,15 @@ def main(argv=None):
             done.add(stem)
         t0 = time.time()
         n_round = 0
+        pending = None  # one batch in flight: overlap fetch+writes with compute
         for shape, items in buckets.items():
             for st in range(0, len(items), args.batch_size):
-                n_round += run_batch(items[st:st + args.batch_size])
+                dispatched = dispatch_batch(items[st:st + args.batch_size])
+                if pending is not None:
+                    n_round += finalize_batch(pending)
+                pending = dispatched
+        if pending is not None:
+            n_round += finalize_batch(pending)
         total += n_round
         dt = time.time() - t0
         print(f"served {n_round} images in {dt:.2f}s "
