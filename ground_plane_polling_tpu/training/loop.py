@@ -56,7 +56,10 @@ def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
 
     detections, annotations = [], []
 
-    def process(shape, items):
+    def dispatch(shape, items):
+        """Async dispatch of one group; results stay on device until
+        finalize() — keeping one group in flight overlaps the next group's
+        host prep + dispatch with this group's compute + transfer."""
         n = len(items)
         items = items + [items[-1]] * (group_size - n)
         out = get_detect(shape)(
@@ -64,6 +67,10 @@ def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
             np.concatenate([it["image"] for it in items], axis=0),
             np.concatenate([it["P_inv"] for it in items], axis=0),
             np.concatenate([it["planes"] for it in items], axis=0))
+        return n, items, out
+
+    def finalize(flight):
+        n, items, out = flight
         boxes = np.asarray(out.boxes)
         dims = np.asarray(out.dims)
         scores = np.asarray(out.scores)
@@ -78,6 +85,14 @@ def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
                 np.asarray(items[j]["annotations"]) /
                 np.array([scale] * 12 + [1.0] * 5), num_classes))
 
+    in_flight = None
+    def process(shape, items):
+        nonlocal in_flight
+        dispatched = dispatch(shape, items)
+        if in_flight is not None:
+            finalize(in_flight)
+        in_flight = dispatched
+
     pending = {}
     for item in loader.eval_inputs():
         shape = tuple(item["image"].shape[1:3])
@@ -86,6 +101,8 @@ def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
             process(shape, pending.pop(shape))
     for shape, items in pending.items():
         process(shape, items)
+    if in_flight is not None:
+        finalize(in_flight)
 
     aps, kp_err, h_err, w_err, l_err = evaluate_detections(
         detections, annotations, 4 * num_classes, iou_threshold)
