@@ -81,6 +81,7 @@ def make_detect_fn(
     use_pallas_polling="auto",
     fused_decode: bool = True,
     mesh=None,
+    shard_spatial: bool = False,
 ):
     """Build the jitted detect function for a static padded image shape.
 
@@ -101,6 +102,16 @@ def make_detect_fn(
     multi-chip serving/eval from the same program (the reference's
     multi_gpu_model covered training only; batch-parallel inference is the
     natural TPU extension). Batch must be divisible by the mesh size.
+
+    shard_spatial (requires mesh): shard the image WIDTH over the mesh
+    instead of the batch — single-image latency scaling. XLA GSPMD runs
+    the conv trunk spatially partitioned (halo exchanges for the 3x3
+    windows inserted automatically); the per-anchor flatten at the head
+    outputs re-gathers, so the post-processing (filter/NMS/polling — a
+    small fraction of the budget) runs replicated. Outputs are identical
+    to the single-device program; batch may be any size (it stays
+    unsharded). This has no reference analog — Keras multi_gpu_model
+    cannot split one image across devices.
     """
     anchors = jnp.asarray(anchor_ops.anchors_for_shape(image_shape))
 
@@ -150,11 +161,23 @@ def make_detect_fn(
         return out
 
     if mesh is None:
+        if shard_spatial:
+            raise ValueError("shard_spatial requires a mesh")
         return jax.jit(detect)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     replicated = NamedSharding(mesh, P())
+    if shard_spatial:
+        # images (B, H, W, 3): width over the mesh; everything else (and
+        # all outputs) replicated — GSPMD partitions the conv trunk and
+        # re-gathers at the head flatten.
+        width_sharded = NamedSharding(mesh, P(None, None, "data", None))
+        return jax.jit(
+            detect,
+            in_shardings=(replicated, width_sharded, replicated, replicated),
+            out_shardings=replicated,
+        )
     batched = NamedSharding(mesh, P("data"))
     return jax.jit(
         detect,

@@ -99,3 +99,42 @@ def test_sharded_evaluate_matches_single(tmp_path):
     for k in buckets1:
         assert buckets1[k][1] == buckets2[k][1]
         assert buckets1[k][0] == pytest.approx(buckets2[k][0], abs=1e-6)
+
+
+@pytest.mark.slow
+def test_spatial_sharded_detect_matches_single(rng):
+    """shard_spatial: the image WIDTH is sharded over the mesh (GSPMD
+    spatial partitioning of the conv trunk with automatic halo exchange)
+    — single-image latency scaling with identical outputs."""
+    assert jax.device_count() >= 8
+    img = (64, 128)  # width divides the 8-device mesh
+    model = build_detector("tiny")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, *img, 3), jnp.float32))
+    images = rng.uniform(-1, 1, (1, *img, 3)).astype(np.float32)
+    P = np.array([[720.0, 0.0, 620.0, 0.0],
+                  [0.0, 720.0, 190.0, 0.0],
+                  [0.0, 0.0, 1.0, 0.0]])
+    P_inv = np.linalg.pinv(P)[None].astype(np.float32)
+    planes = np.stack([
+        rng.uniform(-0.05, 0.05, N_PLANES),
+        np.ones(N_PLANES),
+        rng.uniform(-0.05, 0.05, N_PLANES),
+        rng.uniform(-2.5, -1.0, N_PLANES),
+    ], axis=1)[None].astype(np.float32)
+
+    single = make_detect_fn(model, img, with_pose=True)
+    spatial = make_detect_fn(model, img, with_pose=True,
+                             mesh=data_parallel_mesh(8), shard_spatial=True)
+
+    a = single(variables, images, P_inv, planes)
+    b = spatial(variables, images, P_inv, planes)
+
+    np.testing.assert_array_equal(np.asarray(a.labels), np.asarray(b.labels))
+    np.testing.assert_array_equal(np.asarray(a.orientations),
+                                  np.asarray(b.orientations))
+    for field in ("boxes", "dims", "scores", "keypoints", "residuals",
+                  "locations", "angles"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, field)), np.asarray(getattr(b, field)),
+            rtol=1e-4, atol=1e-4, err_msg=field)
