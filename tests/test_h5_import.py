@@ -439,3 +439,22 @@ def test_numerical_block_names_resolve():
         layers["res3b2_branch2a"]["kernel"])
     assert "conv_proj" in params["stage2_block1"]
     assert "bn_proj" in frozen["stage2_block1"]
+
+
+def test_fuse_towers_on_h5_imported_weights(resnet50_h5):
+    """fuse_detector_params must accept an h5-imported tree (same head
+    subtree names as a flax init) and produce the fused structure with
+    the right shapes."""
+    from ground_plane_polling_tpu.models import (build_detector,
+                                                 fuse_detector_params)
+
+    variables = load_reference_h5(resnet50_h5, backbone="resnet50")
+    fused = fuse_detector_params(variables)
+    flax_model = build_detector("resnet50", num_classes=NUM_CLASSES,
+                                fuse_cls_dim=True)
+    shapes = jax.eval_shape(
+        flax_model.init, jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((1, HW, HW, 3), jnp.float32))
+    got = jax.tree.map(lambda x: x.shape, fused)
+    want = jax.tree.map(lambda x: x.shape, dict(shapes))
+    assert got == want
