@@ -102,13 +102,29 @@ def test_evaluate_cli(trained, tmp_path):
     assert 0.0 <= mean_ap <= 1.0
     assert set(errors) == {"keypoint_error", "height_error", "width_error",
                            "length_error"}
-    # fused cls+dim tower must reproduce the metrics exactly
+
+
+@pytest.mark.slow
+def test_evaluate_cli_fuse_towers_identical(trained, tmp_path):
+    """--fuse-towers must reproduce the eval metrics exactly."""
+    kitti_root, out, _ = trained
+    from ground_plane_polling_tpu.bin.convert_model import main as convert
+    from ground_plane_polling_tpu.bin.evaluate import main as evaluate
+    from ground_plane_polling_tpu.training.checkpoint import latest_checkpoint
+
+    ckpt = latest_checkpoint(os.path.join(out, "snapshots"))
+    weights = str(tmp_path / "mf.npz")
+    convert([ckpt, weights, "--backbone", "tiny"])
+    base_ap, base_errors = evaluate([
+        weights, kitti_root, "--subset", "val",
+        "--image-min-side", "128", "--image-max-side", "448",
+    ])
     fused_ap, fused_errors = evaluate([
         weights, kitti_root, "--subset", "val",
         "--image-min-side", "128", "--image-max-side", "448",
         "--fuse-towers",
     ])
-    assert fused_ap == mean_ap and fused_errors == errors
+    assert fused_ap == base_ap and fused_errors == base_errors
 
 
 def test_debug_cli(trained, tmp_path):
@@ -218,6 +234,7 @@ def test_serve_cli(trained, tmp_path):
         assert os.path.exists(os.path.join(out_dir, stem + ".txt"))
 
 
+@pytest.mark.slow
 def test_run_network_fuse_towers_identical(trained, tmp_path):
     """--fuse-towers (block-diagonal cls+dim tower) produces identical
     KITTI-format detections through the real CLI."""
