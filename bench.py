@@ -47,6 +47,7 @@ BATCH = int(os.environ.get("GPP_BENCH_BATCH", 1))
 N1, N2 = 5, 25
 REPEATS = int(os.environ.get("GPP_BENCH_REPEATS", 3))
 FUSE = os.environ.get("GPP_BENCH_FUSE", "0") == "1"
+TOP_K = int(os.environ.get("GPP_BENCH_TOPK", 1024))
 
 
 def chained_run(fn, variables, images, P_inv, planes, iters):
@@ -75,7 +76,8 @@ def main():
         model = build_detector("resnet50", num_classes=1, dtype=jnp.bfloat16,
                                fuse_cls_dim=True)
         variables = fuse_detector_params(variables)
-    fn = make_detect_fn(model, IMAGE_SHAPE, num_classes=1, with_pose=True)
+    fn = make_detect_fn(model, IMAGE_SHAPE, num_classes=1, with_pose=True,
+                        pre_nms_top_k=TOP_K)
 
     images = jnp.asarray(
         rng.uniform(-128, 128, (BATCH, *IMAGE_SHAPE, 3)), jnp.float32)

@@ -1,0 +1,47 @@
+#!/bin/bash
+# TPU session E: cheap e2e levers A/B on the headline bench.
+#   1. pre_nms_top_k 512 / 256 (parity-justified by the top-k sweeps)
+#   2. XLA latency-hiding scheduler flag
+#   3. bigger scoped-vmem limit
+# Each variant is its own process so XLA_FLAGS take effect at startup.
+set -uo pipefail
+cd /root/repo
+export PYTHONPATH="/root/repo:${PYTHONPATH:-}"
+export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
+
+wait_healthy() {
+  for i in $(seq 1 30); do
+    if timeout 150 python -c "
+import jax, jax.numpy as jnp
+(jnp.ones((4,4)) @ jnp.ones((4,4))).block_until_ready()
+" >/dev/null 2>&1; then return 0; fi
+    echo "[wait_healthy] relay not ready ($i)" >&2
+    sleep 60
+  done
+  return 1
+}
+
+retry() {
+  for attempt in 1 2 3; do
+    wait_healthy || true
+    if "$@"; then return 0; fi
+    echo "[retry] attempt $attempt failed: $*" >&2
+    sleep 60
+  done
+  return 1
+}
+
+echo "=== E0. baseline b1 (session anchor) ==="
+retry python bench.py || true
+echo "=== E1a. top_k=512 b1 ==="
+GPP_BENCH_TOPK=512 retry python bench.py || true
+echo "=== E1b. top_k=256 b1 ==="
+GPP_BENCH_TOPK=256 retry python bench.py || true
+echo "=== E1c. top_k=512 b4 ==="
+GPP_BENCH_TOPK=512 GPP_BENCH_BATCH=4 retry python bench.py || true
+echo "=== E2. latency-hiding scheduler b1 ==="
+XLA_FLAGS="--xla_tpu_enable_latency_hiding_scheduler=true" retry python bench.py || true
+echo "=== E3. scoped vmem 64MiB b1 ==="
+XLA_FLAGS="--xla_tpu_scoped_vmem_limit_kib=65536" retry python bench.py || true
+echo "=== session E done ==="
