@@ -43,7 +43,7 @@ mkdir -p "$OUT"
 echo "=== D1: train $EPOCHS epochs (60 steps, batch 2) ==="
 retry python -m ground_plane_polling_tpu.bin.train \
   --backbone resnet50 --batch-size 2 --epochs "$EPOCHS" --steps 60 \
-  --lr 1e-4 --bf16 --random-transform \
+  --lr 1e-4 --bf16 --random-transform --no-evaluation \
   --snapshot-path "$OUT/snapshots" \
   --log-path "$OUT/log.jsonl" \
   kitti "$ROOT"
