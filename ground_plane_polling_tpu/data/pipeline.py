@@ -56,7 +56,14 @@ def _device_prepare(key, images, anns, ann_mask, ignores, ig_mask, valid,
     term — the static batch shape is preserved (no retrace) while the
     gradient matches the reference's smaller final group
     (generator.py:245-270 yields short groups; Keras just runs them).
+
+    `images` may arrive uint8: the host resize already quantizes to uint8
+    values (PIL bilinear on uint8 input), so shipping uint8 over the
+    host->device link is lossless and cuts the per-step transfer 4x —
+    on a relay-attached chip the image upload is a real cost. The cast
+    to f32 happens here, before augmentation/mean subtraction.
     """
+    images = images.astype(jnp.float32)
     if do_augment:
         keys = jax.random.split(key, images.shape[0])
         images, anns, ignores = jax.vmap(
@@ -192,6 +199,11 @@ class KittiLoader:
         if m:
             ia[:m] = ignores[:m] * scale
             im_[:m] = True
+        # uint8 image payload: the PIL resize path is already uint8-valued
+        # (lossless); the native loader's float bilinear rounds to the
+        # nearest count (<=0.5/255 deviation, within its PIL-parity
+        # tolerance). Cuts the host->device upload 4x per batch.
+        padded = np.rint(padded, out=padded).astype(np.uint8)
         return padded, ga, gm, ia, im_, scale
 
     def _make_batch(self, group):
@@ -283,7 +295,7 @@ class KittiLoader:
             yield {
                 "index": i,
                 "scale": scale,
-                "image": (padded - BGR_MEAN)[None],
+                "image": (padded.astype(np.float32) - BGR_MEAN)[None],
                 "P_inv": np.linalg.pinv(P_scaled)[None].astype(np.float32),
                 "planes": planes[None].astype(np.float32),
                 "annotations": ga[gm],
