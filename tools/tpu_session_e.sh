@@ -44,4 +44,14 @@ echo "=== E2. latency-hiding scheduler b1 ==="
 XLA_FLAGS="--xla_tpu_enable_latency_hiding_scheduler=true" retry python bench.py || true
 echo "=== E3. scoped vmem 64MiB b1 ==="
 XLA_FLAGS="--xla_tpu_scoped_vmem_limit_kib=65536" retry python bench.py || true
+
+echo "=== E4. training epoch wall time (uint8 image upload) ==="
+# 3 epochs, no eval — compare per-epoch 'seconds' against the f32-upload
+# runs recorded in docs (27-77 s/epoch at the same config)
+retry python -m ground_plane_polling_tpu.bin.train \
+  --backbone resnet50 --batch-size 2 --epochs 3 --steps 60 \
+  --lr 1e-4 --bf16 --random-transform --no-evaluation --no-snapshots \
+  --log-path /tmp/e4_log.jsonl \
+  kitti /tmp/full_res_kitti || true
+cat /tmp/e4_log.jsonl || true
 echo "=== session E done ==="
