@@ -34,6 +34,10 @@ def parse_args(argv):
                         "pick the latest under --snapshot-path.")
     p.add_argument("--snapshot-path", default="./snapshots")
     p.add_argument("--no-snapshots", action="store_true")
+    p.add_argument("--snapshot-every", type=int, default=1,
+                   help="checkpoint every N epochs (last epoch always "
+                        "saved); a full-params device->host pull per "
+                        "checkpoint is expensive on a remote-attached chip")
     p.add_argument("--freeze-backbone", action="store_true")
     p.add_argument("--random-transform", action="store_true")
     p.add_argument("--image-min-side", type=int, default=800)
@@ -140,6 +144,7 @@ def main(argv=None):
         epochs=args.epochs, steps_per_epoch=args.steps,
         val_loader=val_loader, num_classes=train_ds.num_classes,
         checkpoint_dir=None if args.no_snapshots else args.snapshot_path,
+        checkpoint_every=args.snapshot_every,
         log_path=args.log_path, tensorboard_dir=args.tensorboard_dir,
         eval_mesh=eval_mesh)
     return state

@@ -123,6 +123,7 @@ def fit(model, state: TrainState, train_step: Callable, train_loader,
         verbose: bool = True,
         nan_guard: bool = True,
         keep_checkpoints: int = 5,
+        checkpoint_every: int = 1,
         eval_mesh=None):
     """Run the training loop; returns the final TrainState.
 
@@ -188,7 +189,12 @@ def fit(model, state: TrainState, train_step: Callable, train_loader,
             if reduced:
                 record["lr_reduced_to"] = float(state.lr)
 
-            if checkpoint_dir:
+            # checkpoint_every thins the per-epoch saves (each one pulls
+            # the full params/opt-state off-device — expensive on a
+            # remote-attached chip); the final epoch always checkpoints
+            if checkpoint_dir and (
+                    (epoch + 1) % max(checkpoint_every, 1) == 0
+                    or epoch == epochs - 1):
                 record["checkpoint"] = save_checkpoint(checkpoint_dir, state)
                 prune_checkpoints(checkpoint_dir, keep=keep_checkpoints)
             log(record)

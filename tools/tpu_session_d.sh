@@ -44,6 +44,7 @@ echo "=== D1: train $EPOCHS epochs (60 steps, batch 2) ==="
 retry python -m ground_plane_polling_tpu.bin.train \
   --backbone resnet50 --batch-size 2 --epochs "$EPOCHS" --steps 60 \
   --lr 1e-4 --bf16 --random-transform --no-evaluation \
+  --snapshot auto --snapshot-every 10 \
   --snapshot-path "$OUT/snapshots" \
   --log-path "$OUT/log.jsonl" \
   kitti "$ROOT"
