@@ -51,7 +51,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from ..data.kitti import preprocess_image, read_image_bgr, resize_scale
+    from ..data.kitti import read_image_bgr, resize_scale
     from ..data.label_prep import read_calibration
     from ..data.pipeline import _resize_image
     from ..data.planes import load_plane_database
@@ -88,7 +88,8 @@ def main(argv=None):
                 nms=cfg.get("nms", True),
                 class_specific=cfg.get("class_specific_filter", True),
                 orientation_specific=cfg.get("orientation_specific_filter",
-                                             False))
+                                             False),
+                device_preprocess=True)
         return detect_fns[shape]
 
     def load_item(stem):
@@ -103,12 +104,16 @@ def main(argv=None):
         resized = _resize_image(raw.astype(np.float32), scale)
         ph = int(np.ceil(resized.shape[0] / 128)) * 128
         pw = int(np.ceil(resized.shape[1] / 128)) * 128
-        padded = np.zeros((ph, pw, 3), np.float32)
-        padded[: resized.shape[0], : resized.shape[1]] = resized
+        # uint8 payload: the resize output is uint8-valued; the detect fn
+        # runs device_preprocess (cast + mean subtraction) — 4x smaller
+        # host->device upload per image
+        padded = np.zeros((ph, pw, 3), np.uint8)
+        padded[: resized.shape[0], : resized.shape[1]] = \
+            np.rint(resized).astype(np.uint8)
         P = read_calibration(os.path.join(args.calib_dir, stem + ".txt"))
         P_inv = np.linalg.pinv(np.diag([scale, scale, 1.0]) @ P)
         return {"stem": stem, "shape": (ph, pw), "scale": scale,
-                "image": preprocess_image(padded),
+                "image": padded,
                 "P_inv": P_inv.astype(np.float32),
                 "image_hw": raw.shape[:2]}
 

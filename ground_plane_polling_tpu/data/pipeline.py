@@ -286,7 +286,12 @@ class KittiLoader:
 
     def eval_inputs(self) -> Iterator[dict]:
         """Yield per-image inference inputs (batch 1, like the reference's
-        evaluation sweep, utils/eval.py:82-91)."""
+        evaluation sweep, utils/eval.py:82-91).
+
+        `image` is raw uint8 BGR — consumers run the detect function with
+        device_preprocess=True (uint8 upload is 4x smaller and the
+        on-device cast + mean subtraction is bit-identical, since the
+        host resize output is uint8-valued)."""
         planes = self.ds.planes
         for i in range(len(self.ds)):
             padded, ga, gm, _, _, scale = self._load_padded(i)
@@ -295,7 +300,7 @@ class KittiLoader:
             yield {
                 "index": i,
                 "scale": scale,
-                "image": (padded.astype(np.float32) - BGR_MEAN)[None],
+                "image": padded[None],
                 "P_inv": np.linalg.pinv(P_scaled)[None].astype(np.float32),
                 "planes": planes[None].astype(np.float32),
                 "annotations": ga[gm],

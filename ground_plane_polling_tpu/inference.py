@@ -82,6 +82,7 @@ def make_detect_fn(
     fused_decode: bool = True,
     mesh=None,
     shard_spatial: bool = False,
+    device_preprocess: bool = False,
 ):
     """Build the jitted detect function for a static padded image shape.
 
@@ -136,6 +137,14 @@ def make_detect_fn(
     )
 
     def detect(variables, images, P_inv, planes) -> DetectionOutput:
+        if device_preprocess:
+            # images arrive as raw uint8 BGR; cast + caffe-mean subtraction
+            # on device. The host resize is uint8-valued, so shipping uint8
+            # is lossless and cuts the upload 4x (the reference preprocesses
+            # on host, utils/image.py:36-62 — same arithmetic, moved).
+            from .data.kitti import BGR_MEAN
+
+            images = images.astype(jnp.float32) - jnp.asarray(BGR_MEAN)
         raw = model.apply(variables, images)
         if fused_decode:
             det = filter_detections_fused_batch(

@@ -48,7 +48,8 @@ def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
             detect_fns[shape] = make_detect_fn(
                 model, shape, num_classes=num_classes,
                 score_threshold=score_threshold,
-                max_detections=max_detections, mesh=mesh, **detect_kwargs)
+                max_detections=max_detections, mesh=mesh,
+                device_preprocess=True, **detect_kwargs)
         return detect_fns[shape]
 
     variables = {"params": state.params, "frozen": state.frozen}
