@@ -24,7 +24,9 @@ def parse_args(argv):
                                       "an .npz weight file, or a reference "
                                       "Keras .h5 checkpoint (imported via "
                                       "models.h5_import).")
-    p.add_argument("model_out", help="Output .npz path.")
+    p.add_argument("model_out", help="Output path: .npz (native artifact) "
+                                     "or .h5 (reference Keras layout, "
+                                     "models.h5_export; resnet family).")
     p.add_argument("--backbone", default="resnet50")
     p.add_argument("--num-classes", type=int, default=1)
     p.add_argument("--no-nms", dest="nms", action="store_false")
@@ -59,6 +61,15 @@ def main(argv=None):
         template = create_train_state(template_vars, make_optimizer())
         state = restore_checkpoint(args.checkpoint, template)
         variables = {"params": state.params, "frozen": state.frozen}
+
+    if args.model_out.endswith((".h5", ".hdf5")):
+        # reverse interop: write the reference's Keras checkpoint layout
+        from ..models.h5_export import export_reference_h5
+
+        export_reference_h5(variables, args.model_out,
+                            backbone=args.backbone)
+        print(f"wrote {args.model_out} (reference Keras h5 layout)")
+        return
 
     export_params(args.model_out, variables)
     config = {
