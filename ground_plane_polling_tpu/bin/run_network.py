@@ -51,7 +51,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import scipy.io
 
-    from ..data.kitti import preprocess_image, read_image_bgr, resize_scale
+    from ..data.kitti import read_image_bgr, resize_scale
     from ..data.label_prep import read_calibration
     from ..data.pipeline import _resize_image
     from ..data.planes import load_plane_database
@@ -74,6 +74,11 @@ def main(argv=None):
         from ..models.h5_import import load_reference_h5
 
         variables = load_reference_h5(args.model_path, backbone=backbone)
+        # no .json sidecar for a direct h5: infer num_classes from the
+        # classification out-conv width (A * 8 * C channels)
+        cls_out_ch = variables["params"]["classification"]["cls_out"][
+            "bias"].shape[0]
+        num_classes = cls_out_ch // (12 * 8)
     else:
         variables = import_params(args.model_path)
     model = build_detector(
@@ -105,7 +110,8 @@ def main(argv=None):
                 nms=cfg.get("nms", True),
                 class_specific=cfg.get("class_specific_filter", True),
                 orientation_specific=cfg.get("orientation_specific_filter",
-                                             False))
+                                             False),
+                device_preprocess=True)
         return detect_fns[shape]
 
     calib_files = sorted(f for f in os.listdir(args.calib_dir)
@@ -127,9 +133,11 @@ def main(argv=None):
         # compiles; KITTI is single-resolution so usually exactly one)
         ph = int(np.ceil(resized.shape[0] / 128)) * 128
         pw = int(np.ceil(resized.shape[1] / 128)) * 128
-        padded = np.zeros((ph, pw, 3), np.float32)
-        padded[: resized.shape[0], : resized.shape[1]] = resized
-        image = preprocess_image(padded)
+        # uint8 payload (the resize output is uint8-valued); the detect fn
+        # runs device_preprocess — 4x smaller host->device upload
+        image = np.zeros((ph, pw, 3), np.uint8)
+        image[: resized.shape[0], : resized.shape[1]] = \
+            np.rint(resized).astype(np.uint8)
 
         P = read_calibration(os.path.join(args.calib_dir, fn))
         P_scaled = np.diag([scale, scale, 1.0]) @ P

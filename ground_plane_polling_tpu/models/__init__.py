@@ -80,6 +80,13 @@ def fuse_detector_params(variables):
 
     variables = dict(variables)
     params = dict(variables["params"])
+    if "clsdim" in params:  # already fused
+        return variables
+    if "classification" not in params or "regression_dim" not in params:
+        raise ValueError(
+            "fuse_detector_params expects a standard detector tree with "
+            "'classification' and 'regression_dim' head subtrees; got "
+            f"{sorted(params)}")
     cls_p = params.pop("classification")
     dim_p = params.pop("regression_dim")
     params["clsdim"] = fuse_cls_dim_params(cls_p, dim_p)

@@ -62,15 +62,19 @@ def _split_regression_out(entry, num_anchors):
 
 
 def _backbone_layers(params, frozen, backbone, stage_sizes):
-    """flax resnet trees -> keras_resnet layer names (letter spellings for
-    resnet50, keras_resnet numerical_names otherwise — the same pair
-    h5_import probes)."""
+    """flax resnet trees -> keras_resnet layer names.
+
+    keras_resnet's numerical_names mode ('a', 'b1', 'b2', ...) applies to
+    the MID stages of resnet101/152 only (numerical_names=[False, True,
+    True, False] in keras_resnet.models.ResNet101/152); first/last stages
+    and all of resnet50 use letter spellings ('a', 'b', 'c', ...)."""
     layers = {"conv1": _conv_entry(params["conv1"]),
               "bn_conv1": _bn_entry(frozen["bn1"])}
     for stage, n_blocks in enumerate(stage_sizes):
         s = str(stage + 2)
+        numerical = backbone != "resnet50" and stage in (1, 2)
         for block in range(n_blocks):
-            if backbone == "resnet50" or block == 0:
+            if block == 0 or not numerical:
                 b = chr(ord("a") + block)
             else:
                 b = f"b{block}"
@@ -146,13 +150,29 @@ def export_reference_h5(variables, path: str, backbone: str = "resnet50",
     }
 
     with h5py.File(path, "w") as f:
+        # Keras 2.2 metadata attrs: layer_names at the root of
+        # model_weights, weight_names per layer group — what
+        # keras' load_weights (legacy h5 path) requires to read the file.
+        f.attrs["keras_version"] = np.bytes_("2.2.4")
+        f.attrs["backend"] = np.bytes_("tensorflow")
         mw = f.create_group("model_weights")
+
+        def write_group(group_name, weight_items):
+            """weight_items: list of (sub-path, array) in layer order."""
+            g = mw.create_group(group_name)
+            g.attrs["weight_names"] = np.array(
+                [np.bytes_(f"{p}:0") for p, _ in weight_items])
+            for p, arr in weight_items:
+                g.create_dataset(f"{p}:0", data=arr)
+
         for name, weights in top.items():
-            g = mw.create_group(name)
-            for wname, arr in weights.items():
-                g.create_dataset(f"{name}/{wname}:0", data=arr)
+            write_group(name, [(f"{name}/{w}", a)
+                               for w, a in weights.items()])
         for sub_name, layers in submodels.items():
-            g = mw.create_group(sub_name)
-            for lname, weights in layers.items():
-                for wname, arr in weights.items():
-                    g.create_dataset(f"{lname}/{wname}:0", data=arr)
+            write_group(sub_name, [(f"{lname}/{w}", a)
+                                   for lname, weights in layers.items()
+                                   for w, a in weights.items()])
+        mw.attrs["layer_names"] = np.array(
+            [np.bytes_(n) for n in (*top, *submodels)])
+        mw.attrs["backend"] = np.bytes_("tensorflow")
+        mw.attrs["keras_version"] = np.bytes_("2.2.4")

@@ -155,10 +155,21 @@ class FusedClsDimHead(nn.Module):
         x = _tower(x, width, self.dtype, "clsdim", mask=mask)
         cls_ch = self.num_anchors * 8 * self.num_classes
         dim_ch = self.num_anchors * 3 * self.num_classes
+
+        def out_bias_init(key, shape, dtype=jnp.float32):
+            # match the split heads' init semantics: prior-probability bias
+            # on the classification channels, zeros on the dim channels —
+            # a freshly-initialised fused model must behave like a
+            # freshly-initialised split model (scores ~prior, not 0.5)
+            del key
+            bias = jnp.zeros(shape, dtype)
+            return bias.at[:cls_ch].set(PRIOR_PROB_BIAS(None, (cls_ch,),
+                                                        dtype))
+
         x = nn.Conv(
             cls_ch + dim_ch, (3, 3), padding="SAME", dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros, name="clsdim_out",
+            bias_init=out_bias_init, name="clsdim_out",
         )(x)
         if not flatten:
             return x

@@ -124,7 +124,9 @@ def test_evaluate_cli_fuse_towers_identical(trained, tmp_path):
         "--image-min-side", "128", "--image-max-side", "448",
         "--fuse-towers",
     ])
-    assert fused_ap == base_ap and fused_errors == base_errors
+    assert fused_ap == pytest.approx(base_ap, abs=1e-6)
+    for k in base_errors:
+        assert fused_errors[k] == pytest.approx(base_errors[k], abs=1e-4)
 
 
 def test_debug_cli(trained, tmp_path):
@@ -260,4 +262,16 @@ def test_run_network_fuse_towers_identical(trained, tmp_path):
         kdir = os.path.join(out_dir, "model", "outputs", "kitti")
         (fn,) = os.listdir(kdir)
         outputs[name] = open(os.path.join(kdir, fn)).read()
-    assert outputs["fused"] == outputs["plain"]
+
+    # numeric comparison with tolerance (the fusion is exact math but conv
+    # reduction order may differ by ulps across XLA versions; same policy
+    # as the module-level equality tests)
+    import numpy as np
+    rows_a = [r.split() for r in outputs["plain"].strip().splitlines()]
+    rows_b = [r.split() for r in outputs["fused"].strip().splitlines()]
+    assert len(rows_a) == len(rows_b)
+    for ra, rb in zip(rows_a, rows_b):
+        assert ra[0] == rb[0]  # class name
+        np.testing.assert_allclose(np.array(ra[1:], float),
+                                   np.array(rb[1:], float),
+                                   rtol=1e-4, atol=1e-4)

@@ -15,11 +15,10 @@ import jax
 import jax.numpy as jnp
 
 from ground_plane_polling_tpu.models.h5_export import export_reference_h5
-from ground_plane_polling_tpu.models.h5_import import (load_reference_h5,
-                                                       read_keras_h5)
+from ground_plane_polling_tpu.models.h5_import import load_reference_h5
 
 from .test_h5_import import (HW, NUM_ANCHORS, NUM_CLASSES, STAGES,
-                             _weight_names, build_reference_model)
+                             build_reference_model)
 
 keras = pytest.importorskip("keras")
 
@@ -69,27 +68,16 @@ def test_export_import_roundtrip(tmp_path):
 
 
 def test_exported_h5_populates_keras_reference(tmp_path):
-    """Load the exported h5 into the real Keras reference graph; forwards
+    """Load the exported h5 into the real Keras reference graph THROUGH
+    KERAS'S OWN LOADER (load_weights(by_name=True) — the same call the
+    reference uses for weight files, ref bin/train.py:349-352); forwards
     must agree (reverse of test_forward_parity_with_keras_reference)."""
     model, variables = _tiny_variables(np.random.RandomState(4))
     path = str(tmp_path / "export.h5")
     export_reference_h5(variables, path, stage_sizes=STAGES)
 
     kmodel = build_reference_model()
-    layers = read_keras_h5(path)
-
-    def populate(layer):
-        if isinstance(layer, keras.Model):
-            for sub in layer.layers:
-                populate(sub)
-            return
-        if not layer.get_weights():
-            return
-        entry = layers[layer.name]
-        layer.set_weights([entry[n.split(":")[0]]
-                           for n in _weight_names(layer)])
-
-    populate(kmodel)
+    kmodel.load_weights(path, by_name=True)
 
     rng = np.random.RandomState(5)
     x = rng.uniform(-1, 1, (1, HW, HW, 3)).astype(np.float32)

@@ -196,3 +196,30 @@ def test_fuse_cls_dim_with_pack_levels():
         np.testing.assert_allclose(
             np.asarray(out_b[k]), np.asarray(out_a[k]),
             rtol=1e-4, atol=2e-5, err_msg=k)
+
+
+def test_fused_head_init_matches_prior_prob():
+    """A freshly-initialised fused model must score anchors at the 0.01
+    prior like the split heads (the fused out-conv's bias carries the
+    prior on the classification channels, zeros on the dim channels)."""
+    model = build_detector("tiny", fuse_cls_dim=True)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(out["classification"]), 0.01, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["regression_dim"]), 0.0,
+                               atol=1e-6)
+
+
+def test_fuse_detector_params_idempotent_and_validating():
+    from ground_plane_polling_tpu.models import fuse_detector_params
+
+    model = build_detector("tiny")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+    fused = fuse_detector_params(variables)
+    again = fuse_detector_params(fused)  # no-op, not a KeyError
+    assert "clsdim" in again["params"]
+    with pytest.raises(ValueError, match="head subtrees"):
+        fuse_detector_params({"params": {"backbone": {}}})

@@ -6,31 +6,9 @@
 # One python process at a time; waits for a healthy relay between steps.
 set -uo pipefail
 cd /root/repo
-export PYTHONPATH="/root/repo:${PYTHONPATH:-}"
-export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
-export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
+source tools/tpu_lib.sh
 
-wait_healthy() {
-  for i in $(seq 1 30); do
-    if timeout 150 python -c "
-import jax, jax.numpy as jnp
-(jnp.ones((4,4)) @ jnp.ones((4,4))).block_until_ready()
-" >/dev/null 2>&1; then return 0; fi
-    echo "[wait_healthy] relay not ready ($i)" >&2
-    sleep 60
-  done
-  return 1
-}
 
-retry() {
-  for attempt in 1 2 3; do
-    wait_healthy || true
-    if "$@"; then return 0; fi
-    echo "[retry] attempt $attempt failed: $*" >&2
-    sleep 60
-  done
-  return 1
-}
 
 echo "=== 1. filter sub-profile ==="
 retry python tools/profile_filter.py || true

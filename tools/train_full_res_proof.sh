@@ -7,38 +7,13 @@
 # One python process at a time (single-tenant chip).
 set -euo pipefail
 cd /root/repo
-export PYTHONPATH="/root/repo:${PYTHONPATH:-}"
-export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
-export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
+source tools/tpu_lib.sh
 
 ROOT=/tmp/full_res_kitti
 OUT=/tmp/full_res_proof
 rm -rf "$OUT"; mkdir -p "$OUT"
 
-wait_healthy() {
-  for i in $(seq 1 30); do
-    if timeout 150 python -c "
-import jax, jax.numpy as jnp
-(jnp.ones((4,4)) @ jnp.ones((4,4))).block_until_ready()
-" >/dev/null 2>&1; then return 0; fi
-    echo "[wait_healthy] relay not ready ($i)" >&2
-    sleep 60
-  done
-  return 1
-}
 
-retry() {
-  # the axon relay claim/registration fails transiently; wait for a healthy
-  # relay then attempt, a few times
-  for attempt in 1 2 3 4 5; do
-    wait_healthy || true
-    if "$@"; then return 0; fi
-    echo "[retry] attempt $attempt failed; waiting 60s" >&2
-    sleep 60
-  done
-  echo "[retry] giving up on: $*" >&2
-  return 1
-}
 
 if [ ! -d "$ROOT/train/images" ]; then
   PALLAS_AXON_POOL_IPS= python tools/synthetic_kitti.py "$ROOT"
