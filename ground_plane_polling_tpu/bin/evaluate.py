@@ -32,6 +32,9 @@ def parse_args(argv):
     p.add_argument("--fuse-towers", action="store_true",
                    help="run the cls+dim heads as one block-diagonal tower "
                         "(identical outputs, faster on TPU)")
+    p.add_argument("--eval-batch", type=int, default=4,
+                   help="single-device eval batch (same-shape images "
+                        "grouped; identical results, ~30%% faster at >=4)")
     return p.parse_args(argv)
 
 
@@ -85,7 +88,8 @@ def main(argv=None):
         model, state, loader, num_classes=num_classes,
         score_threshold=args.score_threshold,
         max_detections=args.max_detections,
-        iou_threshold=args.iou_threshold, mesh=mesh)
+        iou_threshold=args.iou_threshold, mesh=mesh,
+        eval_batch=args.eval_batch)
 
     for bucket, (ap, n) in sorted(aps.items()):
         print(f"bucket {bucket} (class {bucket // 4}, orient {bucket % 4}): "

@@ -31,7 +31,8 @@ __all__ = ["evaluate_model", "fit"]
 
 def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
                    score_threshold: float = 0.05, max_detections: int = 100,
-                   iou_threshold: float = 0.5, mesh=None, **detect_kwargs):
+                   iou_threshold: float = 0.5, mesh=None,
+                   eval_batch: int = 1, **detect_kwargs):
     """Full validation sweep -> (mean_ap, errors dict, per-bucket APs).
 
     With `mesh`, images of the same padded shape are grouped into mesh-sized
@@ -40,6 +41,11 @@ def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
     the last item; the padding rows are discarded host-side). Results are
     identical to the batch-1 sweep — the reference's eval was strictly
     per-image (utils/eval.py:82-91); this is the TPU-native widening.
+
+    Without a mesh, `eval_batch` groups same-shape images into
+    single-device batches the same way (batch >= 4 measures ~30% higher
+    throughput than batch 1 on the chip — docs/PERFORMANCE.md); results
+    are identical.
     """
     detect_fns = {}
 
@@ -53,7 +59,8 @@ def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
         return detect_fns[shape]
 
     variables = {"params": state.params, "frozen": state.frozen}
-    group_size = int(mesh.devices.size) if mesh is not None else 1
+    group_size = int(mesh.devices.size) if mesh is not None else \
+        max(int(eval_batch), 1)
 
     detections, annotations = [], []
 

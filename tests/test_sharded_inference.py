@@ -138,3 +138,36 @@ def test_spatial_sharded_detect_matches_single(rng):
         np.testing.assert_allclose(
             np.asarray(getattr(a, field)), np.asarray(getattr(b, field)),
             rtol=1e-4, atol=1e-4, err_msg=field)
+
+
+@pytest.mark.slow
+def test_eval_batch_matches_batch1(tmp_path):
+    """Single-device eval batching (eval_batch>1) must reproduce the
+    batch-1 sweep exactly (same grouping/pad/mask machinery as the mesh
+    path, no mesh)."""
+    from ground_plane_polling_tpu.data.kitti import KittiDataset
+    from ground_plane_polling_tpu.data.pipeline import KittiLoader
+    from ground_plane_polling_tpu.training.loop import evaluate_model
+    from ground_plane_polling_tpu.training.train import (create_train_state,
+                                                         make_optimizer)
+    from .fixtures import make_synthetic_kitti
+
+    root = make_synthetic_kitti(str(tmp_path / "kitti"), n_images=6)
+    ds = KittiDataset(root, "train")  # 5 images: one group of 3 + 2
+    loader = KittiLoader(ds, batch_size=1, image_min_side=128,
+                         image_max_side=448, shuffle=False)
+
+    model = build_detector("tiny", num_classes=ds.num_classes)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, *loader.image_shape, 3), jnp.float32))
+    state = create_train_state(variables, make_optimizer())
+
+    kwargs = dict(num_classes=ds.num_classes, score_threshold=0.0)
+    ap1, err1, buckets1 = evaluate_model(model, state, loader, **kwargs)
+    ap3, err3, buckets3 = evaluate_model(model, state, loader,
+                                         eval_batch=3, **kwargs)
+    assert ap1 == pytest.approx(ap3, abs=1e-6)
+    for k in err1:
+        assert err1[k] == pytest.approx(err3[k], abs=1e-5)
+    assert buckets1.keys() == buckets3.keys()
