@@ -62,6 +62,25 @@ def chained_run(fn, variables, images, P_inv, planes, iters):
     return time.perf_counter() - t0
 
 
+def _retry_on_dead_relay(exc: BaseException) -> None:
+    """The axon relay registers per-process at interpreter startup and
+    fails transiently; a failed registration cannot be repaired in-process.
+    Re-exec the interpreter (bounded by GPP_BENCH_EXEC_RETRIES) so the
+    round's headline measurement survives a relay blip."""
+    import sys
+
+    if "axon" not in str(exc):
+        raise exc
+    tries = int(os.environ.get("GPP_BENCH_EXEC_RETRIES", "5"))
+    if tries <= 0:
+        raise exc
+    os.environ["GPP_BENCH_EXEC_RETRIES"] = str(tries - 1)
+    print(f"relay registration failed ({exc}); retrying in 60s "
+          f"({tries} attempts left)", file=sys.stderr, flush=True)
+    time.sleep(60)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     from ground_plane_polling_tpu.inference import make_detect_fn
     from ground_plane_polling_tpu.models import build_detector
@@ -111,4 +130,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RuntimeError as e:  # axon registration is per-process; re-exec
+        _retry_on_dead_relay(e)
