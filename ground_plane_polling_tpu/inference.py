@@ -204,15 +204,22 @@ class GPPDetector:
 
     def __init__(self, backbone: str = "resnet50", num_classes: int = 1,
                  dtype: Any = jnp.float32, fuse_towers: bool = False,
-                 **filter_kwargs):
+                 device_preprocess: bool = True, **filter_kwargs):
         """fuse_towers runs the cls+dim heads as one block-diagonal tower
         (exact same outputs, fewer/wider convs — see heads.FusedClsDimHead);
-        weights loaded from standard checkpoints are converted on load."""
+        weights loaded from standard checkpoints are converted on load.
+
+        device_preprocess (default True) uploads raw uint8 BGR images and
+        does the cast + caffe-mean subtraction on device — bit-identical
+        (the host resize output is uint8-valued) with a 4x smaller
+        host->device payload. Only affects detect_image / __call__ when
+        given uint8 input; pass False to feed host-preprocessed f32."""
         self.model = build_detector(backbone, num_classes=num_classes,
                                     dtype=dtype, fuse_cls_dim=fuse_towers)
         self.backbone = backbone
         self.num_classes = num_classes
         self.fuse_towers = fuse_towers
+        self.device_preprocess = device_preprocess
         self.filter_kwargs = filter_kwargs
         self.variables = None
         self._fns = {}
@@ -243,11 +250,14 @@ class GPPDetector:
     def __call__(self, images, P_inv, planes, with_pose: bool = False):
         if self.variables is None:
             raise RuntimeError("call .init() or load weights first")
-        key = (images.shape[1:3], bool(with_pose))
+        device_pre = (self.device_preprocess
+                      and np.asarray(images).dtype == np.uint8)
+        key = (images.shape[1:3], bool(with_pose), device_pre)
         if key not in self._fns:
             self._fns[key] = make_detect_fn(
                 self.model, images.shape[1:3], num_classes=self.num_classes,
-                with_pose=with_pose, **self.filter_kwargs)
+                with_pose=with_pose, device_preprocess=device_pre,
+                **self.filter_kwargs)
         return self._fns[key](self.variables, images, P_inv, planes)
 
     def detect_image(self, image_bgr, P, planes, with_pose: bool = True,
@@ -269,14 +279,23 @@ class GPPDetector:
         resized = _resize_image(image_bgr, scale)
         ph = int(np.ceil(resized.shape[0] / pad_multiple)) * pad_multiple
         pw = int(np.ceil(resized.shape[1] / pad_multiple)) * pad_multiple
-        padded = np.zeros((ph, pw, 3), np.float32)
-        padded[: resized.shape[0], : resized.shape[1]] = resized
+        if self.device_preprocess:
+            # uint8 payload (lossless — the resize output is uint8-valued);
+            # cast + mean subtraction run on device
+            padded = np.zeros((ph, pw, 3), np.uint8)
+            padded[: resized.shape[0], : resized.shape[1]] = \
+                np.rint(resized).astype(np.uint8)
+            net_in = padded[None]
+        else:
+            padded = np.zeros((ph, pw, 3), np.float32)
+            padded[: resized.shape[0], : resized.shape[1]] = resized
+            net_in = preprocess_image(padded)[None]
 
         P_scaled = np.diag([scale, scale, 1.0]) @ np.asarray(P)
         P_inv = np.linalg.pinv(P_scaled)
 
         out = self(
-            jnp.asarray(preprocess_image(padded)[None]),
+            jnp.asarray(net_in),
             jnp.asarray(P_inv[None], jnp.float32),
             jnp.asarray(np.asarray(planes)[None], jnp.float32),
             with_pose=with_pose)

@@ -42,3 +42,27 @@ def test_export_load_roundtrip(rng, tmp_path):
     o2 = det2(img, P_inv[None].astype(np.float32), planes)
     np.testing.assert_allclose(np.asarray(o1.scores), np.asarray(o2.scores),
                                rtol=1e-6)
+
+
+def test_detect_image_device_preprocess_identical(rng):
+    """uint8 upload + on-device mean subtraction must reproduce the
+    host-preprocessed f32 path exactly (the resize output is
+    uint8-valued, so the cast is lossless)."""
+    base = GPPDetector("tiny", num_classes=1, device_preprocess=False,
+                       score_threshold=0.001)
+    base.init(jax.random.PRNGKey(0), (128, 256))
+    dev = GPPDetector("tiny", num_classes=1, device_preprocess=True,
+                      score_threshold=0.001)
+    dev.variables = base.variables
+
+    image = rng.randint(0, 255, (100, 300, 3)).astype(np.uint8)
+    P = np.array([[200.0, 0, 150, 0], [0, 200.0, 50, 0], [0, 0, 1, 0]])
+    planes = np.array([[0.0, 1.0, 0.0, -1.65]], np.float32)
+    kw = dict(min_side=96, max_side=320, pad_multiple=64,
+              score_threshold=0.001)
+    out_a = base.detect_image(image, P, planes, **kw)
+    out_b = dev.detect_image(image, P, planes, **kw)
+    assert len(out_a["scores"]) > 0
+    for key in out_a:
+        np.testing.assert_allclose(out_b[key], out_a[key], rtol=1e-5,
+                                   atol=1e-5, err_msg=key)
