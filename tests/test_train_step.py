@@ -137,6 +137,7 @@ def test_sharded_matches_single_device():
                                    rtol=1e-3, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_remat_gradients_match():
     """remat=True (jax.checkpoint on backbone blocks) must not change the
     computed gradients — only the memory/recompute schedule."""
