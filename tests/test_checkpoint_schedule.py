@@ -1,6 +1,7 @@
 """Checkpoint round-trip and reduce-on-plateau tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -21,6 +22,7 @@ def _state():
     return variables, create_train_state(variables, tx, learning_rate=1e-5)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     variables, state = _state()
     state = state._replace(step=jnp.asarray(7, jnp.int32))
