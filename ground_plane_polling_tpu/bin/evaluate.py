@@ -83,6 +83,9 @@ def main(argv=None):
 
         if jax.device_count() > 1:
             mesh = data_parallel_mesh()
+            if args.eval_batch != 4:  # non-default: warn it has no effect
+                print("note: --eval-batch is ignored with --data-parallel "
+                      "(groups are mesh-sized)", file=sys.stderr)
 
     mean_ap, errors, aps = evaluate_model(
         model, state, loader, num_classes=num_classes,

@@ -53,7 +53,7 @@ def main(argv=None):
 
     from ..data.kitti import read_image_bgr, resize_scale
     from ..data.label_prep import read_calibration
-    from ..data.pipeline import _resize_image
+    from ..data.pipeline import _resize_image, uint8_canvas
     from ..data.planes import load_plane_database
     from ..inference import make_detect_fn
     from ..models import build_detector
@@ -133,11 +133,8 @@ def main(argv=None):
         # compiles; KITTI is single-resolution so usually exactly one)
         ph = int(np.ceil(resized.shape[0] / 128)) * 128
         pw = int(np.ceil(resized.shape[1] / 128)) * 128
-        # uint8 payload (the resize output is uint8-valued); the detect fn
-        # runs device_preprocess — 4x smaller host->device upload
-        image = np.zeros((ph, pw, 3), np.uint8)
-        image[: resized.shape[0], : resized.shape[1]] = \
-            np.rint(resized).astype(np.uint8)
+        # uint8 payload; the detect fn runs device_preprocess
+        image = uint8_canvas(resized, ph, pw)
 
         P = read_calibration(os.path.join(args.calib_dir, fn))
         P_scaled = np.diag([scale, scale, 1.0]) @ P

@@ -43,6 +43,20 @@ def _resize_image(image: np.ndarray, scale: float) -> np.ndarray:
     return np.asarray(out, dtype=np.float32)
 
 
+def uint8_canvas(resized: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Pad a resized image into a (ph, pw, 3) uint8 canvas.
+
+    The uint8 payload is lossless (the resize output is uint8-valued —
+    PIL bilinear on uint8 input; the native loader's float bilinear rounds
+    to the nearest count within its PIL-parity tolerance) and 4x smaller
+    on the host->device link than f32; pair with a detect function built
+    with device_preprocess=True (cast + mean subtraction on device)."""
+    canvas = np.zeros((ph, pw, 3), np.uint8)
+    canvas[: resized.shape[0], : resized.shape[1]] = \
+        np.rint(resized).astype(np.uint8)
+    return canvas
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_classes", "do_augment", "config", "image_shape"))

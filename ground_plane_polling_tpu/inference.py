@@ -250,8 +250,10 @@ class GPPDetector:
     def __call__(self, images, P_inv, planes, with_pose: bool = False):
         if self.variables is None:
             raise RuntimeError("call .init() or load weights first")
+        # dtype check only — no np.asarray, which would pull a jax array
+        # back to the host just to inspect it
         device_pre = (self.device_preprocess
-                      and np.asarray(images).dtype == np.uint8)
+                      and images.dtype == np.uint8)
         key = (images.shape[1:3], bool(with_pose), device_pre)
         if key not in self._fns:
             self._fns[key] = make_detect_fn(
@@ -280,12 +282,9 @@ class GPPDetector:
         ph = int(np.ceil(resized.shape[0] / pad_multiple)) * pad_multiple
         pw = int(np.ceil(resized.shape[1] / pad_multiple)) * pad_multiple
         if self.device_preprocess:
-            # uint8 payload (lossless — the resize output is uint8-valued);
-            # cast + mean subtraction run on device
-            padded = np.zeros((ph, pw, 3), np.uint8)
-            padded[: resized.shape[0], : resized.shape[1]] = \
-                np.rint(resized).astype(np.uint8)
-            net_in = padded[None]
+            from .data.pipeline import uint8_canvas
+
+            net_in = uint8_canvas(resized, ph, pw)[None]
         else:
             padded = np.zeros((ph, pw, 3), np.float32)
             padded[: resized.shape[0], : resized.shape[1]] = resized

@@ -171,3 +171,6 @@ def test_eval_batch_matches_batch1(tmp_path):
     for k in err1:
         assert err1[k] == pytest.approx(err3[k], abs=1e-5)
     assert buckets1.keys() == buckets3.keys()
+    for k in buckets1:  # per-bucket APs and counts, not just the mean
+        assert buckets1[k][1] == buckets3[k][1]
+        assert buckets1[k][0] == pytest.approx(buckets3[k][0], abs=1e-6)
