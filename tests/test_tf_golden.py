@@ -1,0 +1,348 @@
+"""Golden end-to-end parity against the REFERENCE'S OWN executable TF code.
+
+Every other parity test in this tree checks our kernels against re-derived
+numpy oracles (or the reference's pure-numpy anchors.py). That leaves one
+risk class open: a *shared misreading* of the reference's TF graph code
+(e.g. the stride-4 classification de-interleave, the vote-gating order in
+the polling) would pass both our implementation and our oracle. This module
+closes it by importing the reference's actual graph functions —
+
+  bbox_transform_inv / dim_transform_inv
+      /root/reference/keras_retinanet_3D/backend/common.py:23-81
+  RegressBoxes sign derivation
+      /root/reference/keras_retinanet_3D/layers/_misc.py:133-141
+  filter_detections (all 4 class/orientation modes)
+      /root/reference/keras_retinanet_3D/layers/filter_detections.py:52-189
+  fit_road_planes (on the real road_planes_database .mat files)
+      /root/reference/keras_retinanet_3D/layers/fit_road_planes.py:49-139
+
+— executing them under tf.compat.v1 graph mode (keras aliased to tf_keras),
+and asserting our jitted pipeline matches numerically on identical random
+head outputs.
+
+TF2-compat shims needed (the reference targets TF 1.9):
+  * tf.cross moved to tf.linalg.cross
+  * tf.norm lost the keep_dims= alias (now keepdims=)
+Both are patched onto the reference's backend shim module, not onto our
+code paths.
+
+Runs in the default lane (~21 s: TF import + per-mode graph builds).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+REF_ROOT = "/root/reference"
+PLANES_DIR = REF_ROOT + "/road_planes_database"
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference package under tf.compat.v1 + tf_keras."""
+    import tf_keras
+
+    # `import tensorflow` pulls in keras 3; the reference needs keras 2
+    # semantics, which tf_keras provides. Remap every cached keras* module
+    # so the reference's `import keras.backend` etc. resolve to tf_keras.
+    for name in [m for m in sys.modules if m == "keras"
+                 or m.startswith("keras.")]:
+        del sys.modules[name]
+    sys.modules["keras"] = tf_keras
+    sys.modules["keras.backend"] = tf_keras.backend
+    sys.modules["keras.layers"] = tf_keras.layers
+    sys.modules["keras.initializers"] = tf_keras.initializers
+    sys.modules["keras.models"] = tf_keras.models
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    tf.compat.v1.disable_eager_execution()
+
+    from keras_retinanet_3D import backend as ref_backend
+    from keras_retinanet_3D.backend import common as ref_common
+    from keras_retinanet_3D.layers import filter_detections as ref_fd
+    from keras_retinanet_3D.layers import fit_road_planes as ref_frp
+
+    # TF1 -> TF2 API moves (see module docstring).
+    ref_backend.cross = lambda *a, **k: tf.linalg.cross(*a, **k)
+
+    def _norm(x, *a, **k):
+        if "keep_dims" in k:
+            k["keepdims"] = k.pop("keep_dims")
+        return tf.norm(x, *a, **k)
+
+    ref_backend.norm = _norm
+
+    class Ref:
+        backend = ref_backend
+        common = ref_common
+        filter_detections = staticmethod(ref_fd.filter_detections)
+        fit_road_planes = staticmethod(ref_frp.fit_road_planes)
+
+        @staticmethod
+        def run(fetches):
+            with tf.compat.v1.Session() as sess:
+                # tf_keras's K.ones with a static shape creates variables
+                sess.run(tf.compat.v1.global_variables_initializer())
+                return sess.run(fetches)
+
+    return Ref
+
+
+def _random_anchors(rng, n):
+    """Plausible (x1, y1, x2, y2) anchors inside a 512x1408 image."""
+    cx = rng.uniform(30.0, 1370.0, n)
+    cy = rng.uniform(30.0, 480.0, n)
+    w = rng.uniform(20.0, 250.0, n)
+    h = rng.uniform(15.0, 180.0, n)
+    return np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                    axis=-1).astype(np.float32)
+
+
+def _random_head_outputs(rng, b, n, c):
+    """Random raw head outputs shaped like the network's."""
+    anchors = _random_anchors(rng, n)
+    deltas = rng.normal(0.0, 1.0, (b, n, 12)).astype(np.float32)
+    # mostly-background sigmoid scores with a usable tail above 0.05
+    cls = (rng.uniform(0.0, 1.0, (b, n, 8 * c)) ** 4).astype(np.float32)
+    dims_raw = rng.normal(0.0, 1.0, (b, n, 3 * c)).astype(np.float32)
+    return anchors, deltas, cls, dims_raw
+
+
+# ---------------------------------------------------------------------------
+# decode
+
+
+def test_regress_boxes_golden(ref, rng):
+    """Our sign-aware decode == the reference RegressBoxes graph.
+
+    Covers bbox_transform_inv (common.py:43-81) AND the argmax-vs-half-size
+    sign derivation (_misc.py:133-141) on the same random classification.
+    """
+    from ground_plane_polling_tpu import inference
+    from ground_plane_polling_tpu.ops import box_coder
+
+    b, n, c = 2, 400, 2
+    anchors, deltas, cls, dims_raw = _random_head_outputs(rng, b, n, c)
+
+    # reference: RegressBoxes.call body (the layer itself only wraps this)
+    k = __import__("tf_keras").backend
+    cls_t = tf.constant(cls)
+    sign = k.cast(k.argmax(cls_t, axis=2), dtype=k.floatx())
+    half = k.cast(k.shape(cls_t)[2] / 2, dtype=k.floatx())
+    sign = ref.backend.where(k.less(sign, half),
+                             -k.ones_like(sign), k.ones_like(sign))
+    sign = k.stack([sign, sign], -1)
+    ref_boxes = ref.common.bbox_transform_inv(
+        tf.constant(np.broadcast_to(anchors, (b, n, 4)).copy()),
+        tf.constant(deltas), sign,
+        mean=box_coder.BOX_MEAN,
+        std=box_coder.BOX_STD)
+    # the reference broadcasts length-3 stats against 3C columns, which only
+    # works for its single-class config; tile to 3C for the C=2 test (the
+    # per-class stats are identical, so the math is the same)
+    ref_dims = ref.common.dim_transform_inv(
+        tf.constant(dims_raw),
+        mean=np.tile(box_coder.DIM_MEAN, c),
+        std=np.tile(box_coder.DIM_STD, c))
+    ref_boxes, ref_dims = ref.run([ref_boxes, ref_dims])
+
+    raw = {"regression": deltas, "classification": cls,
+           "regression_dim": dims_raw}
+    got_boxes, got_dims = inference.decode_predictions(raw, anchors, c)
+
+    np.testing.assert_allclose(np.asarray(got_boxes), ref_boxes,
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_dims), ref_dims,
+                               rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# filter_detections
+
+
+def _run_ref_filter(ref, boxes, dims, cls, class_specific,
+                    orientation_specific, nms):
+    outs = ref.filter_detections(
+        tf.constant(boxes), tf.constant(dims), tf.constant(cls),
+        class_specific_filter=class_specific,
+        orientation_specific_filter=orientation_specific,
+        nms=nms)
+    return ref.run(outs)  # [boxes, dims, scores, labels, orientations]
+
+
+@pytest.mark.parametrize(
+    "class_specific,orientation_specific,nms",
+    [(True, False, True), (False, False, True),
+     (True, True, True), (False, True, True),
+     (True, False, False)],
+)
+def test_filter_detections_golden(ref, rng, class_specific,
+                                  orientation_specific, nms):
+    """Our mask-based fixed-shape filter == the reference's dynamic graph,
+    in all 4 class/orientation modes (+ the nms=False path).
+
+    num_classes=1 here because the reference itself only supports one class:
+    filter_detections.py:116 hardcodes `num_classes = 1`, and its
+    (N,4,C)->(-1,1) reshape scrambles indices for C>1 (verified: C=2 makes
+    the reference graph raise an out-of-range gather). Multi-class behavior
+    of OUR filter is covered by tests/test_filtering.py's oracles.
+    """
+    from ground_plane_polling_tpu.ops import filtering
+
+    n, c = 1200, 1
+    anchors, deltas, cls_b, dims_raw = _random_head_outputs(rng, 1, n, c)
+
+    # decode once (numpy, f32) and feed the SAME boxes/dims to both sides
+    from ground_plane_polling_tpu import inference
+    raw = {"regression": deltas, "classification": cls_b,
+           "regression_dim": dims_raw}
+    boxes_b, dims_b = inference.decode_predictions(raw, anchors, c)
+    boxes = np.asarray(boxes_b[0])
+    dims = np.asarray(dims_b[0])
+    cls = cls_b[0]
+
+    ref_boxes, ref_dims, ref_scores, ref_labels, ref_orients = \
+        _run_ref_filter(ref, boxes, dims, cls, class_specific,
+                        orientation_specific, nms)
+
+    got = filtering.filter_detections(
+        boxes, dims, cls, num_classes=c,
+        class_specific=class_specific,
+        orientation_specific=orientation_specific,
+        nms=nms, pre_nms_top_k=n)
+
+    got_scores = np.asarray(got.scores)
+    n_ref = int((ref_scores > -1).sum())
+    n_got = int((got_scores > -1).sum())
+    assert n_got == n_ref, f"detection count {n_got} != reference {n_ref}"
+
+    s = slice(0, n_ref)
+    np.testing.assert_allclose(got_scores[s], ref_scores[s],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.labels)[s], ref_labels[s])
+    np.testing.assert_array_equal(np.asarray(got.orientations)[s],
+                                  ref_orients[s])
+    np.testing.assert_allclose(np.asarray(got.boxes)[s], ref_boxes[s],
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.dims)[s], ref_dims[s],
+                               rtol=1e-5, atol=1e-5)
+    # padding contract: everything past n_ref is -1 on both sides
+    assert np.all(got_scores[n_ref:] == -1.0)
+    assert np.all(ref_scores[n_ref:] == -1.0)
+
+
+# ---------------------------------------------------------------------------
+# fit_road_planes
+
+
+def _kitti_p2():
+    """A real-shaped KITTI P2 (fx, fy, cx, cy + small baseline offsets)."""
+    return np.array(
+        [[721.5377, 0.0, 609.5593, 44.85728],
+         [0.0, 721.5377, 172.854, 0.2163791],
+         [0.0, 0.0, 1.0, 0.002745884]], dtype=np.float64)
+
+
+def _polling_inputs(rng, b, d):
+    """Detections whose keypoints sit plausibly on the road."""
+    boxes = np.full((b, d, 12), -1.0, np.float32)
+    for bi in range(b):
+        for di in range(d):
+            u = rng.uniform(150.0, 1100.0)
+            v = rng.uniform(200.0, 360.0)
+            w = rng.uniform(40.0, 220.0)
+            h = rng.uniform(25.0, 160.0)
+            xl = u - w * 0.45
+            xr = u + w * 0.45
+            xm = u + rng.uniform(-0.3, 0.3) * w
+            xt = u + rng.uniform(-0.3, 0.3) * w
+            boxes[bi, di] = [u - w / 2, v - h, u + w / 2, v,
+                             xl, v + rng.uniform(-3, 3),
+                             xm, v + rng.uniform(-3, 3),
+                             xr, v + rng.uniform(-3, 3),
+                             xt, v - h + rng.uniform(-3, 3)]
+    # one padded (-1) row per image: parity must hold for the padded math too
+    boxes[:, -1, :] = -1.0
+    dims = np.stack([
+        rng.uniform(1.3, 2.0, (b, d)),
+        rng.uniform(1.5, 2.1, (b, d)),
+        rng.uniform(3.2, 5.2, (b, d)),
+    ], axis=-1).astype(np.float32)
+    dims[:, -1, :] = -1.0
+    orients = rng.randint(0, 4, (b, d)).astype(np.int64)
+    orients[:, -1] = -1
+    p_inv = np.linalg.pinv(_kitti_p2()).astype(np.float32)  # (4, 3)
+    p_inv = np.broadcast_to(p_inv, (b, 4, 3)).copy()
+    return boxes, dims, orients, p_inv
+
+
+@pytest.mark.parametrize("db", ["road_planes_database_10.mat",
+                                "road_planes_database_100.mat"])
+def test_fit_road_planes_golden(ref, rng, db):
+    """Our fused einsum polling == the reference's TF graph on the real
+    road-plane databases (winding check, vote gating, residual 100, /6)."""
+    from ground_plane_polling_tpu.data.planes import load_plane_database
+    from ground_plane_polling_tpu.ops import polling
+
+    b, d = 2, 8
+    boxes, dims, orients, p_inv = _polling_inputs(rng, b, d)
+    planes = load_plane_database(f"{PLANES_DIR}/{db}").astype(np.float32)
+    planes_b = np.broadcast_to(planes, (b,) + planes.shape).copy()
+
+    ref_kp, ref_plane, ref_res = ref.run(ref.fit_road_planes(
+        tf.constant(boxes), tf.constant(dims), tf.constant(orients),
+        tf.constant(p_inv), tf.constant(planes_b)))
+
+    got = polling.fit_road_planes(boxes, dims, orients, p_inv, planes_b)
+    got_kp = np.asarray(got.keypoints)
+    got_plane = np.asarray(got.keyplanes)
+    got_res = np.asarray(got.residuals)
+
+    # Winning residual always matches; the winning *plane* must match except
+    # where two planes tie within float noise (then either pick is correct).
+    np.testing.assert_allclose(got_res, ref_res, rtol=1e-4, atol=1e-3)
+    plane_match = np.all(np.abs(got_plane - ref_plane) < 1e-4, axis=(2, 3))
+    for bi in range(b):
+        for di in range(d):
+            if plane_match[bi, di]:
+                np.testing.assert_allclose(
+                    got_kp[bi, di], ref_kp[bi, di], rtol=1e-4, atol=5e-3,
+                    err_msg=f"keypoints diverge at det ({bi},{di})")
+            else:
+                # argmin flipped between near-tied planes: residuals already
+                # asserted equal above, so both hypotheses fit equally well
+                assert abs(got_res[bi, di] - ref_res[bi, di]) < 1e-3, (
+                    f"different plane with different residual at ({bi},{di})")
+
+
+def test_fit_road_planes_matches_pallas_variant(ref, rng):
+    """The Pallas polling kernel ALSO matches the reference graph directly
+    (not just our jnp formulation)."""
+    from ground_plane_polling_tpu.data.planes import load_plane_database
+    from ground_plane_polling_tpu.kernels import polling_pallas
+
+    b, d = 1, 8
+    boxes, dims, orients, p_inv = _polling_inputs(rng, b, d)
+    planes = load_plane_database(
+        f"{PLANES_DIR}/road_planes_database_100.mat").astype(np.float32)
+    planes_b = np.broadcast_to(planes, (b,) + planes.shape).copy()
+
+    ref_kp, ref_plane, ref_res = ref.run(ref.fit_road_planes(
+        tf.constant(boxes), tf.constant(dims), tf.constant(orients),
+        tf.constant(p_inv), tf.constant(planes_b)))
+
+    got = polling_pallas.fit_road_planes_pallas(
+        boxes, dims, orients, p_inv, planes_b)
+    np.testing.assert_allclose(np.asarray(got.residuals), ref_res,
+                               rtol=1e-4, atol=1e-3)
+    plane_match = np.all(
+        np.abs(np.asarray(got.keyplanes) - ref_plane) < 1e-4, axis=(2, 3))
+    got_kp = np.asarray(got.keypoints)
+    for bi in range(b):
+        for di in range(d):
+            if plane_match[bi, di]:
+                np.testing.assert_allclose(got_kp[bi, di], ref_kp[bi, di],
+                                           rtol=1e-4, atol=5e-3)
