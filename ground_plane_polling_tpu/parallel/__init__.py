@@ -4,4 +4,5 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
-from .distributed import initialize, is_multi_host, local_batch_slice
+from .distributed import (initialize, is_multi_host, local_batch_slice,
+                          make_global_batch)

@@ -17,7 +17,8 @@ from typing import Optional
 
 import jax
 
-__all__ = ["initialize", "is_multi_host", "local_batch_slice"]
+__all__ = ["initialize", "is_multi_host", "local_batch_slice",
+           "make_global_batch"]
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -50,3 +51,26 @@ def local_batch_slice(global_batch: int):
     """(start, size) of this host's shard of a globally-sharded batch."""
     per_host = global_batch // jax.process_count()
     return jax.process_index() * per_host, per_host
+
+
+def make_global_batch(mesh, batch):
+    """Assemble per-host numpy batches into global, batch-sharded jax.Arrays.
+
+    Each host passes the FULL global batch pytree (e.g. produced from a
+    shared seed or a shared filesystem); this host contributes only its
+    local_batch_slice rows. Single-process: plain sharded device_put.
+    Multi-host jit requires global jax.Arrays — numpy inputs only work when
+    every shard is process-addressable.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("data"))
+
+    def place(x):
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        start, size = local_batch_slice(x.shape[0])
+        return jax.make_array_from_process_local_data(
+            sharding, x[start:start + size], x.shape)
+
+    return jax.tree_util.tree_map(place, batch)
