@@ -41,16 +41,22 @@ P_TILE = 512    # planes per block (VPU lanes; multiple of 128)
 
 
 def _poll_kernel(rays_ref, exp_ref, planes_ref, votes_ref, res_ref):
-    """One (D_TILE, P_TILE) block of the (detections x planes) scoreboard."""
-    n0 = planes_ref[0:1, :]
-    n1 = planes_ref[1:2, :]
-    n2 = planes_ref[2:3, :]
-    dd = planes_ref[3:4, :]
+    """One (D_TILE, P_TILE) block of one batch element's scoreboard.
+
+    Blocks carry a leading unit batch dim: the grid is
+    (B, D tiles, P tiles), so a single pallas_call covers the whole batch
+    (compile time and program size are independent of B) while each batch
+    element still reads its own plane database.
+    """
+    n0 = planes_ref[0, 0:1, :]
+    n1 = planes_ref[0, 1:2, :]
+    n2 = planes_ref[0, 2:3, :]
+    dd = planes_ref[0, 3:4, :]
 
     def ray(k):
-        return (rays_ref[:, 3 * k + 0][:, None],
-                rays_ref[:, 3 * k + 1][:, None],
-                rays_ref[:, 3 * k + 2][:, None])
+        return (rays_ref[0, :, 3 * k + 0][:, None],
+                rays_ref[0, :, 3 * k + 1][:, None],
+                rays_ref[0, :, 3 * k + 2][:, None])
 
     # intersect the l/m/r rays with every plane in the block
     X = []
@@ -88,12 +94,13 @@ def _poll_kernel(rays_ref, exp_ref, planes_ref, votes_ref, res_ref):
     votes = jnp.zeros(wind_y.shape, jnp.float32)
     residual = jnp.zeros(wind_y.shape, jnp.float32)
     for i, (a, b) in enumerate(pairs):
-        r = jnp.abs(dist(a, b) - exp_ref[:, i][:, None])
+        r = jnp.abs(dist(a, b) - exp_ref[0, :, i][:, None])
         votes = votes + (r <= POLL_THRESHOLD_M).astype(jnp.float32)
         residual = residual + r
 
-    res_ref[:, :] = jnp.where(wind_y < 0.0, DISQUALIFIED_RESIDUAL, residual)
-    votes_ref[:, :] = votes
+    res_ref[0, :, :] = jnp.where(wind_y < 0.0, DISQUALIFIED_RESIDUAL,
+                                 residual)
+    votes_ref[0, :, :] = votes
 
 
 def _expected_distances(dimensions, orientations):
@@ -148,7 +155,6 @@ def fit_road_planes_pallas(boxes, dimensions, orientations, P_inv, planes):
     """Drop-in replacement for ops.polling.fit_road_planes."""
     b, d, _ = boxes.shape
     p = planes.shape[1]
-    bd = b * d
     d_pad = -(-d // D_TILE) * D_TILE
     p_pad = -(-p // P_TILE) * P_TILE
     interpret = jax.default_backend() != "tpu"
@@ -157,48 +163,41 @@ def fit_road_planes_pallas(boxes, dimensions, orientations, P_inv, planes):
     rays = _rays_from_boxes(boxes, P_inv)  # (B, D, 4, 3)
     expected = _expected_distances(dimensions, orientations)  # (B, D, 6)
 
-    # the kernel is instantiated per batch element (planes differ per b);
-    # in practice B is small and identical plane DBs are broadcast anyway
-    def one_batch(planes_b, rays_b, exp_b):
-        planes_t = jnp.zeros((4, p_pad), jnp.float32).at[:, :p].set(
-            planes_b.T)
-        grid = (d_pad // D_TILE, p_pad // P_TILE)
-        votes, residual = pl.pallas_call(
-            _poll_kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((D_TILE, 12), lambda i, j: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((D_TILE, 8), lambda i, j: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, P_TILE), lambda i, j: (0, j),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((D_TILE, P_TILE), lambda i, j: (i, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((D_TILE, P_TILE), lambda i, j: (i, j),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((d_pad, p_pad), jnp.float32),
-                jax.ShapeDtypeStruct((d_pad, p_pad), jnp.float32),
-            ],
-            interpret=interpret,
-        )(rays_b, exp_b, planes_t)
-        return votes, residual
+    # one pallas_call for the whole batch: grid (B, D tiles, P tiles);
+    # blocks carry a leading unit batch dim so each element reads its own
+    # plane database, and compile time is independent of B
+    planes_t = jnp.zeros((b, 4, p_pad), jnp.float32).at[:, :, :p].set(
+        jnp.transpose(planes_n, (0, 2, 1)))
+    rays_p = jnp.zeros((b, d_pad, 12), jnp.float32).at[:, :d].set(
+        rays.reshape(b, d, 12))
+    exp_p = jnp.zeros((b, d_pad, 8), jnp.float32).at[:, :d, :6].set(expected)
 
-    votes_list, res_list = [], []
-    for bi in range(b):
-        rb = jnp.zeros((d_pad, 12), jnp.float32).at[:d].set(
-            rays[bi].reshape(d, 12))
-        eb = jnp.zeros((d_pad, 8), jnp.float32).at[:d, :6].set(
-            expected[bi])
-        v, r = one_batch(planes_n[bi], rb, eb)
-        votes_list.append(v[:d, :p])
-        res_list.append(r[:d, :p])
-    votes = jnp.stack(votes_list)      # (B, D, P)
-    residual = jnp.stack(res_list)
+    grid = (b, d_pad // D_TILE, p_pad // P_TILE)
+    votes, residual = pl.pallas_call(
+        _poll_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, D_TILE, 12), lambda bi, i, j: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D_TILE, 8), lambda bi, i, j: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, P_TILE), lambda bi, i, j: (bi, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, D_TILE, P_TILE), lambda bi, i, j: (bi, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D_TILE, P_TILE), lambda bi, i, j: (bi, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d_pad, p_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, d_pad, p_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rays_p, exp_p, planes_t)
+    votes = votes[:, :d, :p]       # (B, D, P)
+    residual = residual[:, :d, :p]
 
     # vote gating + argmin (reference fit_road_planes.py:111-119)
     max_votes = jnp.max(votes, axis=-1, keepdims=True)

@@ -53,6 +53,52 @@ def test_pallas_matches_jnp(rng):
                                atol=1e-3)
 
 
+@pytest.mark.parametrize("b", [4, 8])
+def test_pallas_batch_parity(rng, b):
+    """Parity holds at serving batch sizes (batch folded into the grid)."""
+    args = _random_case(rng, b=b, d=12, p=40)
+    ref = fit_road_planes(*args)
+    got = fit_road_planes_pallas(*args)
+    np.testing.assert_allclose(np.asarray(got.residuals),
+                               np.asarray(ref.residuals), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.keyplanes),
+                               np.asarray(ref.keyplanes), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_pallas_distinct_planes_per_batch_element(rng):
+    """Each batch element must poll against ITS OWN plane database (the
+    batch-folded grid indexes planes by the batch coordinate)."""
+    boxes, dims, orients, P_inv, planes = _random_case(rng, b=2, d=8, p=24)
+    # give element 1 a very different database
+    planes = planes.copy()
+    planes[1, :, 3] = planes[1, :, 3] * 3.0
+    args = (boxes, dims, orients, P_inv, planes)
+    ref = fit_road_planes(*args)
+    got = fit_road_planes_pallas(*args)
+    np.testing.assert_allclose(np.asarray(got.residuals),
+                               np.asarray(ref.residuals), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.keyplanes),
+                               np.asarray(ref.keyplanes), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_pallas_single_call_regardless_of_batch():
+    """Program size must not grow with B: exactly one pallas_call in the
+    jaxpr at any batch size (the old implementation unrolled B calls)."""
+    import jax
+
+    rng = np.random.RandomState(0)
+    for b in (1, 8):
+        args = _random_case(rng, b=b, d=8, p=24)
+        jaxpr = jax.make_jaxpr(fit_road_planes_pallas.__wrapped__)(*args)
+        n_calls = sum(1 for eqn in jaxpr.jaxpr.eqns
+                      if eqn.primitive.name == "pallas_call")
+        assert n_calls == 1, (b, n_calls)
+
+
 def test_pallas_unpadded_sizes(rng):
     """Sizes that don't divide the tile shapes still work via padding."""
     args = _random_case(rng, b=1, d=5, p=13)
