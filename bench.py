@@ -10,20 +10,26 @@ block_until_ready returns before device completion): iterations are CHAINED
 is forced by fetching a scalar of the final output to the host. The fixed
 relay round-trip is removed by differencing two run lengths:
   rate = (N2 - N1) / (t(N2) - t(N1))
-and the whole differenced measurement is repeated REPEATS times, reporting
-the fastest (relay load varies minute-to-minute by up to ~1.5x — see
-docs/PERFORMANCE.md "measurement noise" — and the minimum tracks the
-device's actual throughput).
+
+Batch-1 throughput through the relay is BIMODAL with relay phase (~135 vs
+~165 img/s envelope, config-independent; docs/PERFORMANCE.md session G), so
+a back-to-back best-of-3 samples whichever phase the relay happens to be
+in. The headline instead spreads differenced estimates across a
+GPP_BENCH_WINDOW_SECS window (default 150 s, ~10 s apart) and reports the
+fastest — the clear-path envelope, which tracks the device's actual
+throughput rather than the relay's mood.
 
 The reference publishes no numbers; its per-image frame-rate print
 (run_network.py:108-111) on the Keras/TF-1.9 stack runs a ~5 fps-class
 pipeline on a contemporary GPU. vs_baseline is reported against 10 img/s —
 a deliberately generous estimate — so vs_baseline = measured / 10.0.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Env overrides: GPP_BENCH_PLANES, GPP_BENCH_BATCH, GPP_BENCH_FUSE
-(=1 runs the cls+dim heads as one block-diagonal tower — exact same
-outputs, see models.heads.FusedClsDimHead).
+Prints auxiliary JSON lines (batch-4 aggregate throughput, MFU, the b1
+estimate spread) followed by the headline JSON line LAST:
+  {"metric", "value", "unit", "vs_baseline"}.
+Env overrides: GPP_BENCH_PLANES, GPP_BENCH_BATCH, GPP_BENCH_FUSE,
+GPP_BENCH_TOPK, GPP_BENCH_WINDOW_SECS, GPP_BENCH_B4_WINDOW_SECS (0 skips
+the batch-4 line), GPP_BENCH_REPEATS (minimum estimates per window).
 """
 
 import json
@@ -38,6 +44,9 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_FPS_ESTIMATE = 10.0
+# Calibrated bf16 matmul ceiling measured on this chip (docs/PERFORMANCE.md
+# "device calibration"): large bf16 matmuls sustain ~184 TFLOP/s.
+PEAK_BF16_TFLOPS = 184.0
 
 # KITTI 375x1242 resized to min-side 800 / max-side 1333 => 403x1333;
 # padded up to conv-friendly multiples of 128
@@ -45,7 +54,9 @@ IMAGE_SHAPE = (512, 1408)
 N_PLANES = int(os.environ.get("GPP_BENCH_PLANES", 1024))
 BATCH = int(os.environ.get("GPP_BENCH_BATCH", 1))
 N1, N2 = 5, 25
-REPEATS = int(os.environ.get("GPP_BENCH_REPEATS", 3))
+MIN_ESTIMATES = int(os.environ.get("GPP_BENCH_REPEATS", 3))
+WINDOW_SECS = float(os.environ.get("GPP_BENCH_WINDOW_SECS", 150))
+B4_WINDOW_SECS = float(os.environ.get("GPP_BENCH_B4_WINDOW_SECS", 60))
 FUSE = os.environ.get("GPP_BENCH_FUSE", "0") == "1"
 TOP_K = int(os.environ.get("GPP_BENCH_TOPK", 1024))
 
@@ -60,6 +71,28 @@ def chained_run(fn, variables, images, P_inv, planes, iters):
         carry = out.scores[0, 0] * 0.0  # tiny dependency, keeps shapes fixed
     np.asarray(carry)  # host fetch = real completion of every iteration
     return time.perf_counter() - t0
+
+
+def measure_envelope(fn, variables, images, P_inv, planes,
+                     window_secs, min_estimates):
+    """Differenced per-iter estimates spread across a time window.
+
+    Returns (best_per_iter, all_per_iter): consecutive estimates are spaced
+    ~10 s apart so the window samples both relay phases; the minimum
+    per-iter time is the clear-path envelope.
+    """
+    chained_run(fn, variables, images, P_inv, planes, 2)  # compile + warm
+    estimates = []
+    t_start = time.perf_counter()
+    while True:
+        t1 = chained_run(fn, variables, images, P_inv, planes, N1)
+        t2 = chained_run(fn, variables, images, P_inv, planes, N2)
+        estimates.append((t2 - t1) / (N2 - N1))
+        elapsed = time.perf_counter() - t_start
+        if elapsed >= window_secs and len(estimates) >= min_estimates:
+            break
+        time.sleep(min(10.0, max(0.5, window_secs / 15.0)))
+    return min(estimates), estimates
 
 
 def _retry_on_dead_relay(exc: BaseException) -> None:
@@ -81,6 +114,42 @@ def _retry_on_dead_relay(exc: BaseException) -> None:
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
+def _inputs(rng, batch):
+    images = jnp.asarray(
+        rng.uniform(-128, 128, (batch, *IMAGE_SHAPE, 3)), jnp.float32)
+    P = np.array([[721.5, 0.0, 609.6, 44.9],
+                  [0.0, 721.5, 172.9, 0.2],
+                  [0.0, 0.0, 1.0, 0.003]])
+    P_inv = jnp.asarray(
+        np.tile(np.linalg.pinv(P)[None], (batch, 1, 1)), jnp.float32)
+    planes = np.stack([
+        rng.uniform(-0.05, 0.05, N_PLANES),
+        np.ones(N_PLANES),
+        rng.uniform(-0.05, 0.05, N_PLANES),
+        rng.uniform(-2.5, -1.0, N_PLANES),
+    ], axis=1)
+    planes = jnp.asarray(np.tile(planes[None], (batch, 1, 1)), jnp.float32)
+    return images, P_inv, planes
+
+
+def _flops_per_call(fn, variables, images, P_inv, planes):
+    """XLA cost-analysis FLOPs of one compiled inference call (or None)."""
+    try:
+        compiled = fn.lower(variables, images, P_inv, planes).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        return float(analysis["flops"])
+    except Exception:
+        return None
+
+
+def emit(metric, value, unit, vs_baseline):
+    print(json.dumps({"metric": metric, "value": round(value, 3),
+                      "unit": unit, "vs_baseline": round(vs_baseline, 3)}),
+          flush=True)
+
+
 def main():
     from ground_plane_polling_tpu.inference import make_detect_fn
     from ground_plane_polling_tpu.models import build_detector
@@ -98,35 +167,35 @@ def main():
     fn = make_detect_fn(model, IMAGE_SHAPE, num_classes=1, with_pose=True,
                         pre_nms_top_k=TOP_K)
 
-    images = jnp.asarray(
-        rng.uniform(-128, 128, (BATCH, *IMAGE_SHAPE, 3)), jnp.float32)
-    P = np.array([[721.5, 0.0, 609.6, 44.9],
-                  [0.0, 721.5, 172.9, 0.2],
-                  [0.0, 0.0, 1.0, 0.003]])
-    P_inv = jnp.asarray(
-        np.tile(np.linalg.pinv(P)[None], (BATCH, 1, 1)), jnp.float32)
-    planes = np.stack([
-        rng.uniform(-0.05, 0.05, N_PLANES),
-        np.ones(N_PLANES),
-        rng.uniform(-0.05, 0.05, N_PLANES),
-        rng.uniform(-2.5, -1.0, N_PLANES),
-    ], axis=1)
-    planes = jnp.asarray(np.tile(planes[None], (BATCH, 1, 1)), jnp.float32)
+    images, P_inv, planes = _inputs(rng, BATCH)
 
-    chained_run(fn, variables, images, P_inv, planes, 2)  # compile + warm
-    estimates = []
-    for _ in range(REPEATS):
-        t1 = chained_run(fn, variables, images, P_inv, planes, N1)
-        t2 = chained_run(fn, variables, images, P_inv, planes, N2)
-        estimates.append((t2 - t1) / (N2 - N1))
-    per_iter = min(estimates)
+    # batch-4 aggregate throughput (phase-stable; short window suffices)
+    if B4_WINDOW_SECS > 0 and BATCH == 1:
+        images4, P_inv4, planes4 = _inputs(rng, 4)
+        per_iter4, _ = measure_envelope(
+            fn, variables, images4, P_inv4, planes4,
+            B4_WINDOW_SECS, MIN_ESTIMATES)
+        emit("gpp_resnet50_e2e_inference_b4", 4.0 / per_iter4,
+             "images/sec/chip", (4.0 / per_iter4) / REFERENCE_FPS_ESTIMATE)
+
+    per_iter, estimates = measure_envelope(
+        fn, variables, images, P_inv, planes, WINDOW_SECS, MIN_ESTIMATES)
     images_per_sec = BATCH / per_iter
-    print(json.dumps({
-        "metric": "gpp_resnet50_e2e_inference",
-        "value": round(images_per_sec, 3),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(images_per_sec / REFERENCE_FPS_ESTIMATE, 3),
-    }))
+
+    # estimate spread: how bimodal was the relay during this measurement?
+    rates = sorted(BATCH / e for e in estimates)
+    emit("gpp_b1_estimate_spread_median", rates[len(rates) // 2],
+         "images/sec/chip", len(rates))
+
+    flops = _flops_per_call(fn, variables, images, P_inv, planes)
+    if flops is not None:
+        tflops = flops / per_iter / 1e12
+        emit("gpp_resnet50_e2e_mfu", 100.0 * tflops / PEAK_BF16_TFLOPS,
+             "percent_of_184tflops_bf16", tflops)
+
+    # headline LAST: the driver parses the final JSON line
+    emit("gpp_resnet50_e2e_inference", images_per_sec, "images/sec/chip",
+         images_per_sec / REFERENCE_FPS_ESTIMATE)
 
 
 if __name__ == "__main__":

@@ -32,9 +32,10 @@ def parse_args(argv):
     p.add_argument("--fuse-towers", action="store_true",
                    help="run the cls+dim heads as one block-diagonal tower "
                         "(identical outputs, faster on TPU)")
-    p.add_argument("--eval-batch", type=int, default=4,
+    p.add_argument("--eval-batch", type=int, default=None,
                    help="single-device eval batch (same-shape images "
-                        "grouped; identical results, ~30%% faster at >=4)")
+                        "grouped; identical results, ~30%% faster at >=4; "
+                        "default 4; ignored under --data-parallel)")
     return p.parse_args(argv)
 
 
@@ -83,16 +84,20 @@ def main(argv=None):
 
         if jax.device_count() > 1:
             mesh = data_parallel_mesh()
-            if args.eval_batch != 4:  # non-default: warn it has no effect
+            if args.eval_batch is not None:  # explicit: warn it's ignored
                 print("note: --eval-batch is ignored with --data-parallel "
                       "(groups are mesh-sized)", file=sys.stderr)
+        else:
+            print("note: --data-parallel requested but only one device is "
+                  "visible; falling back to single-device batching",
+                  file=sys.stderr)
 
     mean_ap, errors, aps = evaluate_model(
         model, state, loader, num_classes=num_classes,
         score_threshold=args.score_threshold,
         max_detections=args.max_detections,
         iou_threshold=args.iou_threshold, mesh=mesh,
-        eval_batch=args.eval_batch)
+        eval_batch=args.eval_batch if args.eval_batch is not None else 4)
 
     for bucket, (ap, n) in sorted(aps.items()):
         print(f"bucket {bucket} (class {bucket // 4}, orient {bucket % 4}): "

@@ -74,11 +74,21 @@ def main(argv=None):
         from ..models.h5_import import load_reference_h5
 
         variables = load_reference_h5(args.model_path, backbone=backbone)
-        # no .json sidecar for a direct h5: infer num_classes from the
-        # classification out-conv width (A * 8 * C channels)
+        # no .json sidecar for a direct h5: infer the anchor count from
+        # the box-regression out-conv (A * 12 channels), then num_classes
+        # from the classification out-conv (A * 8 * C channels)
+        box_out_ch = variables["params"]["regression"]["box_out"][
+            "bias"].shape[0]
         cls_out_ch = variables["params"]["classification"]["cls_out"][
             "bias"].shape[0]
-        num_classes = cls_out_ch // (12 * 8)
+        num_anchors = box_out_ch // 12
+        if (box_out_ch % 12 or num_anchors <= 0
+                or cls_out_ch % (num_anchors * 8)):
+            raise ValueError(
+                f"cannot infer num_classes from h5 head shapes "
+                f"(box_out={box_out_ch}, cls_out={cls_out_ch}); "
+                f"expected box A*12 and cls A*8*C channels")
+        num_classes = cls_out_ch // (num_anchors * 8)
     else:
         variables = import_params(args.model_path)
     model = build_detector(

@@ -216,7 +216,11 @@ class KittiLoader:
         # uint8 image payload: the PIL resize path is already uint8-valued
         # (lossless); the native loader's float bilinear rounds to the
         # nearest count (<=0.5/255 deviation, within its PIL-parity
-        # tolerance). Cuts the host->device upload 4x per batch.
+        # tolerance). Cuts the host->device upload 4x per batch. Clip
+        # first: uint8 wraps on out-of-range values, and bilinear output
+        # can only leave [0, 255] through upstream bugs — wrap would turn
+        # such a bug into silent 255-off pixels.
+        np.clip(padded, 0.0, 255.0, out=padded)
         padded = np.rint(padded, out=padded).astype(np.uint8)
         return padded, ga, gm, ia, im_, scale
 

@@ -166,9 +166,19 @@ class FusedClsDimHead(nn.Module):
             return bias.at[:cls_ch].set(PRIOR_PROB_BIAS(None, (cls_ch,),
                                                         dtype))
 
+        def out_kernel_init(key, shape, dtype=jnp.float32):
+            # block-diagonal like fuse_cls_dim_params: zeros on the
+            # classification block (split cls_out uses zero kernels) and
+            # normal(0.01) on the dim block reading the dim tower's
+            # channels (split dim_out uses _normal01)
+            kern = jnp.zeros(shape, dtype)
+            dim_block = _normal01(
+                key, (shape[0], shape[1], self.dim_width, dim_ch), dtype)
+            return kern.at[:, :, self.cls_width:, cls_ch:].set(dim_block)
+
         x = nn.Conv(
             cls_ch + dim_ch, (3, 3), padding="SAME", dtype=self.dtype,
-            kernel_init=nn.initializers.zeros,
+            kernel_init=out_kernel_init,
             bias_init=out_bias_init, name="clsdim_out",
         )(x)
         if not flatten:

@@ -48,15 +48,25 @@ def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
     are identical.
     """
     detect_fns = {}
+    # device_preprocess default: decided from the first item's image dtype
+    # (uint8 -> device-side BGR-mean subtraction; float inputs are already
+    # host-preprocessed and must NOT be mean-subtracted again). An explicit
+    # caller kwarg wins — no duplicate-kwarg TypeError, no silent double
+    # preprocessing.
+    device_preprocess = detect_kwargs.pop("device_preprocess", None)
 
-    def get_detect(shape):
-        if shape not in detect_fns:
-            detect_fns[shape] = make_detect_fn(
+    def get_detect(shape, image_dtype):
+        dp = device_preprocess
+        if dp is None:
+            dp = np.dtype(image_dtype) == np.uint8
+        key = (shape, dp)
+        if key not in detect_fns:
+            detect_fns[key] = make_detect_fn(
                 model, shape, num_classes=num_classes,
                 score_threshold=score_threshold,
                 max_detections=max_detections, mesh=mesh,
-                device_preprocess=True, **detect_kwargs)
-        return detect_fns[shape]
+                device_preprocess=dp, **detect_kwargs)
+        return detect_fns[key]
 
     variables = {"params": state.params, "frozen": state.frozen}
     group_size = int(mesh.devices.size) if mesh is not None else \
@@ -69,8 +79,13 @@ def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
         finalize() — keeping one group in flight overlaps the next group's
         host prep + dispatch with this group's compute + transfer."""
         n = len(items)
+        # short final groups are padded by repeating the last item: the
+        # detect graph's batch dim is static (group_size), so a smaller
+        # tail batch would mean a second compile, and masking would not
+        # reduce the device work either — repeat-padding is the cheapest
+        # correct option (padding rows discarded in finalize()).
         items = items + [items[-1]] * (group_size - n)
-        out = get_detect(shape)(
+        out = get_detect(shape, items[0]["image"].dtype)(
             variables,
             np.concatenate([it["image"] for it in items], axis=0),
             np.concatenate([it["P_inv"] for it in items], axis=0),
