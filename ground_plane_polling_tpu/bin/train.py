@@ -49,6 +49,13 @@ def parse_args(argv):
                         "reference's imagenet default, bin/train.py:349-352)")
     p.add_argument("--weights", default=None,
                    help="Initialize from an exported .npz weight file.")
+    p.add_argument("--imagenet-weights", action="store_true",
+                   help="download keras_resnet ImageNet weights (md5 "
+                        "verified, cached under ~/.gpp_tpu/models) and "
+                        "initialise the backbone from them — the "
+                        "reference's default init (bin/train.py:349-352); "
+                        "requires network egress, otherwise use "
+                        "--backbone-h5 with a pre-downloaded file")
     p.add_argument("--data-parallel", action="store_true",
                    help="Shard the batch over all visible devices.")
     p.add_argument("--remat", action="store_true",
@@ -109,10 +116,14 @@ def main(argv=None):
         else:
             loaded = import_params(args.weights)
         variables = {**variables, **loaded}
-    if args.backbone_h5:
+    backbone_h5 = args.backbone_h5
+    if args.imagenet_weights and not backbone_h5:
+        from ..models.imagenet import download_imagenet
+        backbone_h5 = download_imagenet(args.backbone)
+    if backbone_h5:
         from ..models.h5_import import load_reference_h5, merge_backbone
         variables = merge_backbone(
-            variables, load_reference_h5(args.backbone_h5,
+            variables, load_reference_h5(backbone_h5,
                                          backbone=args.backbone,
                                          backbone_only=True))
 
