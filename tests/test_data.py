@@ -32,6 +32,64 @@ def test_label_prep_orientation_classes():
         assert int(row.split()[-1]) == want_cls
 
 
+def test_label_prep_golden_rows():
+    """Byte-exact golden rows, one per alpha quadrant + one behind-camera.
+
+    The expected strings were derived by an independent transliteration of
+    the MATLAB pipeline (create_mod_labels.m:57-111, computeBox3D.m:13-37,
+    projectToImage.m) written directly from the .m sources — corner
+    construction, yaw rotation, projection, per-quadrant corner id
+    selection, amodal min/max box, and the DontCare sentinel block — then
+    checked in as literals. Any re-interpretation drift in label_prep.py
+    breaks these bytes.
+    """
+    P_kitti = np.array([[721.5377, 0.0, 609.5593, 44.85728],
+                        [0.0, 721.5377, 172.854, 0.2163791],
+                        [0.0, 0.0, 1.0, 0.002745884]])
+    dims = np.array([1.48, 1.62, 3.9])
+    cases = [
+        # (alpha_deg, location, yaw, golden row)
+        (30.0, (2.0, 1.65, 15.0), 0.8,
+         "Car 0.200000 1 0.523599 615.036134 180.068647 813.238868 "
+         "264.136077 615.036134 248.010884 766.563617 264.136077 "
+         "813.238868 256.864396 766.563617 182.241055 1.480000 1.620000 "
+         "3.900000 0"),
+        (120.0, (-3.0, 1.60, 20.0), 2.2,
+         "Car 0.200000 1 2.094395 428.530015 176.767958 570.659534 "
+         "237.156770 428.530015 233.913640 471.564994 237.156770 "
+         "570.659534 227.548707 471.564994 177.663399 1.480000 1.620000 "
+         "3.900000 1"),
+        (-45.0, (1.0, 1.70, 12.0), -0.6,
+         "Car 0.200000 1 -0.785398 546.766382 184.361141 790.976247 "
+         "292.695231 546.766382 278.846485 603.058675 292.695231 "
+         "790.976247 271.473102 603.058675 188.340894 1.480000 1.620000 "
+         "3.900000 2"),
+        (-135.0, (-1.5, 1.55, 25.0), -2.5,
+         "Car 0.200000 1 -2.356194 510.969078 174.727670 627.442307 "
+         "221.076490 510.969078 216.666240 598.273156 221.076490 "
+         "627.442307 218.520371 598.273156 175.021155 1.480000 1.620000 "
+         "3.900000 3"),
+    ]
+    for alpha_deg, loc, yaw, golden in cases:
+        obj = label_prep.KittiObject(
+            type="Car", truncated=0.2, occluded=1,
+            alpha=np.deg2rad(alpha_deg),
+            box2d=np.array([0.0, 0.0, 0.0, 0.0]),
+            dims=dims.copy(), location=np.array(loc), yaw=yaw)
+        assert label_prep.modified_label_row(obj, P_kitti) == golden, \
+            f"alpha {alpha_deg}"
+
+    behind = label_prep.KittiObject(
+        type="Car", truncated=0.2, occluded=1, alpha=0.5,
+        box2d=np.array([12.5, 140.25, 88.0, 190.5]),
+        dims=dims.copy(), location=np.array([0.5, 1.65, -4.0]), yaw=0.3)
+    assert label_prep.modified_label_row(behind, P_kitti) == (
+        "DontCare -1.000000 -1 -10.000000 12.500000 140.250000 88.000000 "
+        "190.500000 -10000.000000 -10000.000000 -10000.000000 "
+        "-10000.000000 -10000.000000 -10000.000000 -10000.000000 "
+        "-10000.000000 1.480000 1.620000 3.900000 -1")
+
+
 def test_label_prep_behind_camera_dontcare():
     obj = label_prep.KittiObject(
         type="Car", truncated=0.0, occluded=0, alpha=0.5,
