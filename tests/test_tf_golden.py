@@ -75,6 +75,33 @@ def ref():
 
     ref_backend.norm = _norm
 
+    def _resize_images(images, size, method="bilinear",
+                       align_corners=False):
+        methods = {"nearest": tf.image.ResizeMethod.NEAREST_NEIGHBOR,
+                   "bilinear": tf.image.ResizeMethod.BILINEAR}
+        return tf.compat.v1.image.resize_images(
+            images, size, methods[method], align_corners)
+
+    ref_backend.resize_images = _resize_images
+
+    # keras-2.2 lowercase initializer aliases the reference uses
+    if not hasattr(tf_keras.initializers, "normal"):
+        tf_keras.initializers.normal = tf_keras.initializers.RandomNormal
+    if not hasattr(tf_keras.initializers, "zeros"):
+        tf_keras.initializers.zeros = tf_keras.initializers.Zeros
+
+    # PriorProbability passes a tf dtype into np.ones (fine on keras 2.2,
+    # TypeError on modern numpy) — same math, numpy-safe dtype
+    import math
+
+    from keras_retinanet_3D import initializers as ref_init
+
+    def _prior_call(self, shape, dtype=None):
+        return np.ones(shape, dtype="float32") * -math.log(
+            (1 - self.probability) / self.probability)
+
+    ref_init.PriorProbability.__call__ = _prior_call
+
     class Ref:
         backend = ref_backend
         common = ref_common
@@ -316,6 +343,89 @@ def test_fit_road_planes_golden(ref, rng, db):
                 # asserted equal above, so both hypotheses fit equally well
                 assert abs(got_res[bi, di] - ref_res[bi, di]) < 1e-3, (
                     f"different plane with different residual at ({bi},{di})")
+
+
+@pytest.mark.slow
+def test_reference_own_fpn_heads_graph_forward_parity(ref, rng, tmp_path):
+    """Forward parity against the reference's OWN model-assembly code.
+
+    Builds the FPN + 3 head submodels with the reference's retinanet()
+    (models/retinanet.py:314-356, __create_pyramid_features:170-205,
+    default_submodels:24-167 — including its UpsampleLike layer and the
+    5-way split regression output convs), feeds C3/C4/C5 features
+    directly (keras_resnet isn't installed, so the conv backbone itself
+    can't be built — its import parity is covered by
+    tests/test_h5_import.py), loads OUR h5-exported weights through
+    tf_keras's by-name loader, and asserts our flax FPN+heads produce the
+    same outputs on the same features. Unlike test_h5_export's replica
+    test, the Keras side here is the reference's source, not our test
+    code.
+    """
+    import tf_keras
+
+    from keras_retinanet_3D.models import retinanet as ref_rn
+
+    from ground_plane_polling_tpu.models.fpn import FPN
+    from ground_plane_polling_tpu.models.h5_export import export_reference_h5
+    from ground_plane_polling_tpu.models.heads import (
+        BoxRegressionHead, ClassificationHead, DimRegressionHead)
+    from .test_h5_export import _tiny_variables
+    from .test_h5_import import STAGES
+
+    _, variables = _tiny_variables(np.random.RandomState(7))
+    params = variables["params"]
+    path = str(tmp_path / "export.h5")
+    export_reference_h5(variables, path, stage_sizes=STAGES)
+
+    # reference graph: C3/C4/C5 as inputs (channels = resnet's 512/1024/
+    # 2048; spatial dims exact powers of two so TF1 nearest resize ==
+    # broadcast nearest upsample)
+    c3_in = tf_keras.Input((16, 16, 512), name="C3_input")
+    c4_in = tf_keras.Input((8, 8, 1024), name="C4_input")
+    c5_in = tf_keras.Input((4, 4, 2048), name="C5_input")
+    submodels = ref_rn.default_submodels(num_classes=1, num_anchors=12)
+    kmodel = ref_rn.retinanet([c3_in, c4_in, c5_in],
+                              [c3_in, c4_in, c5_in],
+                              num_classes=1, submodels=submodels)
+    # by-name load: the outer model holds the FPN convs; the head convs
+    # live inside the submodel Models, which are themselves keras Models
+    kmodel.load_weights(path, by_name=True)
+    n_loaded = 0
+    for _, sub in submodels:
+        sub.load_weights(path, by_name=True)
+    for layer in kmodel.layers + [l for _, s in submodels
+                                  for l in s.layers]:
+        if layer.weights and not isinstance(layer, tf_keras.Model):
+            n_loaded += 1
+    assert n_loaded == 8 + 5 + 9 + 5, n_loaded  # FPN + cls + box + dim
+
+    c3 = rng.normal(0, 1, (1, 16, 16, 512)).astype(np.float32)
+    c4 = rng.normal(0, 1, (1, 8, 8, 1024)).astype(np.float32)
+    c5 = rng.normal(0, 1, (1, 4, 4, 2048)).astype(np.float32)
+    k_reg, k_dim, k_cls = kmodel.predict([c3, c4, c5], verbose=0)
+
+    feats = FPN(feature_size=512, name="fpn").apply(
+        {"params": params["fpn"]}, c3, c4, c5)
+    our_reg = np.concatenate(
+        [np.asarray(BoxRegressionHead(name="regression").apply(
+            {"params": params["regression"]}, f)) for f in feats], axis=1)
+    our_cls = np.concatenate(
+        [np.asarray(ClassificationHead(name="classification").apply(
+            {"params": params["classification"]}, f)) for f in feats],
+        axis=1)
+    our_dim = np.concatenate(
+        [np.asarray(DimRegressionHead(name="regression_dim").apply(
+            {"params": params["regression_dim"]}, f)) for f in feats],
+        axis=1)
+
+    def assert_close_to_scale(a, b, rel=1e-4):
+        tol = rel * max(float(np.max(np.abs(b))), 1.0)
+        np.testing.assert_allclose(np.asarray(a), b, atol=tol, rtol=0)
+
+    assert our_reg.shape == k_reg.shape
+    assert_close_to_scale(our_reg, k_reg)
+    assert_close_to_scale(our_dim, k_dim)
+    assert_close_to_scale(our_cls, k_cls, rel=1e-3)
 
 
 def test_fit_road_planes_matches_pallas_variant(ref, rng):
