@@ -14,8 +14,11 @@ from ground_plane_polling_tpu.training.train import (
     create_train_state, make_optimizer)
 
 
-def _state():
-    model = build_detector("resnet50")
+def _state(backbone="tiny"):
+    # tiny backbone for the default lane (this box has one CPU; a
+    # resnet50 init alone costs ~45 s); the slow-lane roundtrip keeps
+    # the full resnet50 tree for big-pytree coverage
+    model = build_detector(backbone)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 64, 3), jnp.float32))
     tx = make_optimizer()
@@ -24,7 +27,7 @@ def _state():
 
 @pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
-    variables, state = _state()
+    variables, state = _state("resnet50")
     state = state._replace(step=jnp.asarray(7, jnp.int32))
     path = save_checkpoint(str(tmp_path / "ckpt"), state)
     assert latest_checkpoint(str(tmp_path / "ckpt")) == path
@@ -42,12 +45,15 @@ def test_export_import_params(tmp_path):
     p = str(tmp_path / "weights.npz")
     export_params(p, variables)
     loaded = import_params(p)
-    for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
-                    jax.tree_util.tree_leaves(loaded["params"])):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    for a, b in zip(jax.tree_util.tree_leaves(variables["frozen"]),
-                    jax.tree_util.tree_leaves(loaded["frozen"])):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # import_params always materializes a frozen collection (empty for
+    # BN-free backbones like tiny)
+    assert set(variables) <= set(loaded)
+    for extra in set(loaded) - set(variables):
+        assert not jax.tree_util.tree_leaves(loaded[extra])
+    for coll in variables:  # params (+ frozen when the backbone has BN)
+        for a, b in zip(jax.tree_util.tree_leaves(variables[coll]),
+                        jax.tree_util.tree_leaves(loaded[coll])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_reduce_lr_on_plateau():

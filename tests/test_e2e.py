@@ -26,8 +26,8 @@ def trained(kitti_root, tmp_path_factory):
         "--batch-size", "2",
         "--epochs", "2",
         "--steps", "2",
-        "--image-min-side", "128",
-        "--image-max-side", "448",
+        "--image-min-side", "96",
+        "--image-max-side", "320",
         "--snapshot-path", str(out / "snapshots"),
         "--log-path", str(out / "log.jsonl"),
         "--random-transform",
@@ -97,7 +97,7 @@ def test_evaluate_cli(trained, tmp_path):
     convert([ckpt, weights, "--backbone", "tiny"])
     mean_ap, errors = evaluate([
         weights, kitti_root, "--subset", "val",
-        "--image-min-side", "128", "--image-max-side", "448",
+        "--image-min-side", "96", "--image-max-side", "320",
     ])
     assert 0.0 <= mean_ap <= 1.0
     assert set(errors) == {"keypoint_error", "height_error", "width_error",
@@ -117,11 +117,11 @@ def test_evaluate_cli_fuse_towers_identical(trained, tmp_path):
     convert([ckpt, weights, "--backbone", "tiny"])
     base_ap, base_errors = evaluate([
         weights, kitti_root, "--subset", "val",
-        "--image-min-side", "128", "--image-max-side", "448",
+        "--image-min-side", "96", "--image-max-side", "320",
     ])
     fused_ap, fused_errors = evaluate([
         weights, kitti_root, "--subset", "val",
-        "--image-min-side", "128", "--image-max-side", "448",
+        "--image-min-side", "96", "--image-max-side", "320",
         "--fuse-towers",
     ])
     assert fused_ap == pytest.approx(base_ap, abs=1e-6)
@@ -152,8 +152,8 @@ def test_train_cli_data_parallel(kitti_root, tmp_path):
         "--batch-size", "8",
         "--epochs", "1",
         "--steps", "1",
-        "--image-min-side", "128",
-        "--image-max-side", "448",
+        "--image-min-side", "96",
+        "--image-max-side", "320",
         "--no-snapshots",
         "--no-evaluation",
         "--data-parallel",

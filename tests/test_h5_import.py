@@ -357,7 +357,11 @@ _FAMILIES = {
 }
 
 
-@pytest.mark.parametrize("family", sorted(_FAMILIES))
+@pytest.mark.parametrize(
+    "family",
+    ["vgg16", "mobilenet",
+     # densenet import parity costs ~40 s on this 1-CPU box -> slow lane
+     pytest.param("densenet121", marks=pytest.mark.slow)])
 def test_backbone_import_matches_keras_applications(family, tmp_path):
     """VGG / MobileNet / DenseNet h5 import: features C3/C4/C5 from our
     flax backbone must reproduce keras.applications' (the reference's

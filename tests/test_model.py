@@ -59,7 +59,13 @@ def test_registry_contains_all_families():
         assert name in reg
 
 
-@pytest.mark.parametrize("name", ["vgg16", "densenet121", "mobilenet224_1.0"])
+# densenet variants are the heaviest inits on this 1-CPU box (~25-40 s
+# each); their coverage moves to the slow lane, vgg/mobilenet keep the
+# default-lane multi-family signal
+_DN_SLOW = pytest.param("densenet121", marks=pytest.mark.slow)
+
+
+@pytest.mark.parametrize("name", ["vgg16", _DN_SLOW, "mobilenet224_1.0"])
 def test_alt_backbones_forward(name):
     _, out = _init_and_run(name, img=(64, 64))
     n = A.num_anchors_for_shape((64, 64))
@@ -67,7 +73,7 @@ def test_alt_backbones_forward(name):
     assert np.isfinite(np.asarray(out["regression"])).all()
 
 
-@pytest.mark.parametrize("name", ["vgg16", "densenet121", "mobilenet224_1.0",
+@pytest.mark.parametrize("name", ["vgg16", _DN_SLOW, "mobilenet224_1.0",
                                   "resnet50"])
 def test_head_count_matches_anchor_grid_odd_size(name):
     """Pooling must ceil-divide like the anchor grid (the reference needed

@@ -42,12 +42,12 @@ def test_loss_decreases_over_steps():
     step = make_train_step(model, tx)
     batch = _tiny_batch()
     losses = []
-    for _ in range(10):
+    for _ in range(6):
         state, metrics = step(state, batch)
         losses.append(float(metrics["loss"]))
     # SGD on a fresh random net is noisy; require clear net progress
     assert min(losses[-3:]) < losses[0]
-    assert int(state.step) == 10
+    assert int(state.step) == 6
 
 
 def test_clip_per_tensor_norm():
