@@ -56,7 +56,10 @@ def test_two_process_dp_matches_single_process(tmp_path):
     outputs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=600)
+            # generous: on this 1-CPU box the two workers contend with
+            # whatever else the lane is running (observed 209 s alone,
+            # >600 s under full slow-lane contention)
+            stdout, _ = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
