@@ -49,8 +49,12 @@ REFERENCE_FPS_ESTIMATE = 10.0
 PEAK_BF16_TFLOPS = 184.0
 
 # KITTI 375x1242 resized to min-side 800 / max-side 1333 => 403x1333;
-# padded up to conv-friendly multiples of 128
-IMAGE_SHAPE = (512, 1408)
+# padded to multiples of 32 — the data pipeline's actual bucket
+# (pad_multiple=32). The previous 128-multiple bucket (512x1408) carried
+# 29% more pixels than the image content needs; the tighter bucket is
+# 25-30% faster end-to-end at identical resize scale (interleaved
+# phase-fair A/B, docs/PERFORMANCE.md round 3).
+IMAGE_SHAPE = (416, 1344)
 N_PLANES = int(os.environ.get("GPP_BENCH_PLANES", 1024))
 BATCH = int(os.environ.get("GPP_BENCH_BATCH", 1))
 N1, N2 = 5, 25

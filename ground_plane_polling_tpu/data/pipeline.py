@@ -114,7 +114,7 @@ class KittiLoader:
 
     def __init__(self, dataset: KittiDataset, batch_size: int = 1,
                  image_min_side: int = 800, image_max_side: int = 1333,
-                 pad_multiple: int = 128, max_annotations: int = 32,
+                 pad_multiple: int = 32, max_annotations: int = 32,
                  max_ignore: int = 8, augment: bool = False,
                  augment_config: AugmentConfig = AugmentConfig(),
                  seed: int = 0, shuffle: bool = True,

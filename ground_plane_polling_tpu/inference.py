@@ -264,7 +264,7 @@ class GPPDetector:
 
     def detect_image(self, image_bgr, P, planes, with_pose: bool = True,
                      min_side: int = 800, max_side: int = 1333,
-                     pad_multiple: int = 128, score_threshold: float = 0.05):
+                     pad_multiple: int = 32, score_threshold: float = 0.05):
         """Detect on one raw BGR image with a (3, 4) calibration.
 
         Handles the full host-side contract of the reference's

@@ -17,7 +17,7 @@ from ground_plane_polling_tpu.ops import anchors as anchor_ops
 from ground_plane_polling_tpu.training.train import (
     create_train_state, make_optimizer, make_train_step)
 
-IMAGE_SHAPE = (512, 1408)
+IMAGE_SHAPE = (416, 1344)  # pipeline bucket at pad_multiple=32 (was 512x1408 through round 2)
 BATCH = int(os.environ.get("GPP_BENCH_BATCH", 2))
 STEPS = int(os.environ.get("GPP_BENCH_STEPS", 10))
 

@@ -27,7 +27,7 @@ from ground_plane_polling_tpu.models.heads import (BoxRegressionHead,
                                                    DimRegressionHead)
 from ground_plane_polling_tpu.ops import anchors as anchor_ops
 
-IMAGE_SHAPE = (512, 1408)
+IMAGE_SHAPE = (416, 1344)  # pipeline bucket at pad_multiple=32 (was 512x1408 through round 2)
 N1, N2 = 4, 16
 DTYPE = jnp.bfloat16
 

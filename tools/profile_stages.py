@@ -23,7 +23,7 @@ from ground_plane_polling_tpu.models import build_detector
 from ground_plane_polling_tpu.ops import anchors as anchor_ops
 from ground_plane_polling_tpu.ops.filtering import filter_detections_batch
 
-IMAGE_SHAPE = (512, 1408)
+IMAGE_SHAPE = (416, 1344)  # pipeline bucket at pad_multiple=32 (was 512x1408 through round 2)
 N_PLANES = 1024
 N1, N2 = 4, 16
 
