@@ -82,12 +82,16 @@ def main(argv=None):
         cls_out_ch = variables["params"]["classification"]["cls_out"][
             "bias"].shape[0]
         num_anchors = box_out_ch // 12
-        if (box_out_ch % 12 or num_anchors <= 0
+        if (box_out_ch % 12 or num_anchors != 12
                 or cls_out_ch % (num_anchors * 8)):
+            # load_reference_h5 itself only maps the default 12-anchor
+            # layout, so anything else must fail loudly here rather than
+            # as an opaque reshape error downstream
             raise ValueError(
                 f"cannot infer num_classes from h5 head shapes "
-                f"(box_out={box_out_ch}, cls_out={cls_out_ch}); "
-                f"expected box A*12 and cls A*8*C channels")
+                f"(box_out={box_out_ch}, cls_out={cls_out_ch}); the h5 "
+                f"import path supports the reference's 12-anchor layout "
+                f"(box 12*12=144, cls 12*8*C channels) only")
         num_classes = cls_out_ch // (num_anchors * 8)
     else:
         variables = import_params(args.model_path)

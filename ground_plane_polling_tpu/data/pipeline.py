@@ -52,8 +52,10 @@ def uint8_canvas(resized: np.ndarray, ph: int, pw: int) -> np.ndarray:
     on the host->device link than f32; pair with a detect function built
     with device_preprocess=True (cast + mean subtraction on device)."""
     canvas = np.zeros((ph, pw, 3), np.uint8)
+    # clip before the cast: uint8 wraps on out-of-range values, which
+    # would turn an upstream resize bug into silent 255-off pixels
     canvas[: resized.shape[0], : resized.shape[1]] = \
-        np.rint(resized).astype(np.uint8)
+        np.rint(np.clip(resized, 0.0, 255.0)).astype(np.uint8)
     return canvas
 
 

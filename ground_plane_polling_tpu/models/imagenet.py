@@ -99,6 +99,10 @@ def download_imagenet(backbone: str, cache_dir: str | None = None,
                 f"This environment has no network egress — download the "
                 f"file elsewhere and pass it via --backbone-h5, or place "
                 f"it at {dest}") from e
+        finally:
+            part = dest + ".part"
+            if os.path.exists(part):  # failed mid-copy: no stale partials
+                os.remove(part)
     got = _md5(dest)
     if got != checksum:
         raise RuntimeError(

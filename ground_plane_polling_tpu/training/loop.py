@@ -59,6 +59,14 @@ def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
         dp = device_preprocess
         if dp is None:
             dp = np.dtype(image_dtype) == np.uint8
+            if not dp:
+                import warnings
+                warnings.warn(
+                    "evaluate_model: float eval images are assumed to be "
+                    "already preprocessed (device-side BGR-mean "
+                    "subtraction disabled). If your loader yields RAW "
+                    "float BGR images, pass device_preprocess=True.",
+                    stacklevel=3)
         key = (shape, dp)
         if key not in detect_fns:
             detect_fns[key] = make_detect_fn(

@@ -48,8 +48,15 @@ def ref():
     # `import tensorflow` pulls in keras 3; the reference needs keras 2
     # semantics, which tf_keras provides. Remap every cached keras* module
     # so the reference's `import keras.backend` etc. resolve to tf_keras.
-    for name in [m for m in sys.modules if m == "keras"
-                 or m.startswith("keras.")]:
+    # The remap is restored on module teardown; other test modules bound
+    # their own `keras` object at collection time anyway. The
+    # disable_eager_execution below, however, is process-permanent — TF
+    # refuses to re-enable eager once ops have run — so any test that
+    # needs eager TF must run BEFORE this module (alphabetical file
+    # ordering does that today: test_h5_* < test_tf_golden).
+    saved_keras = {m: sys.modules[m] for m in list(sys.modules)
+                   if m == "keras" or m.startswith("keras.")}
+    for name in saved_keras:
         del sys.modules[name]
     sys.modules["keras"] = tf_keras
     sys.modules["keras.backend"] = tf_keras.backend
@@ -115,7 +122,13 @@ def ref():
                 sess.run(tf.compat.v1.global_variables_initializer())
                 return sess.run(fetches)
 
-    return Ref
+    yield Ref
+
+    # restore the session's keras modules for any later-imported code
+    for name in [m for m in sys.modules if m == "keras"
+                 or m.startswith("keras.")]:
+        del sys.modules[name]
+    sys.modules.update(saved_keras)
 
 
 def _random_anchors(rng, n):

@@ -23,7 +23,7 @@ from ground_plane_polling_tpu.ops import box_coder
 from ground_plane_polling_tpu.ops.filtering import _greedy_nms
 from ground_plane_polling_tpu.ops.overlap import iou_matrix
 
-IMAGE_SHAPE = (512, 1408)
+IMAGE_SHAPE = (416, 1344)  # pipeline bucket at pad_multiple=32 (was 512x1408 through round 2)
 N1, N2 = 5, 25
 TOP_K = 1024
 

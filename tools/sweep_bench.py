@@ -15,7 +15,7 @@ import numpy as np
 from ground_plane_polling_tpu.inference import make_detect_fn
 from ground_plane_polling_tpu.models import build_detector
 
-IMAGE_SHAPE = (512, 1408)
+IMAGE_SHAPE = (416, 1344)  # pipeline bucket at pad_multiple=32 (was 512x1408 through round 2)
 
 
 def timed(fn, args, iters=30, warmup=2):
