@@ -96,7 +96,23 @@ def measure_envelope(fn, variables, images, P_inv, planes,
         if elapsed >= window_secs and len(estimates) >= min_estimates:
             break
         time.sleep(min(10.0, max(0.5, window_secs / 15.0)))
-    return min(estimates), estimates
+    valid = robust_estimates(estimates)
+    return min(valid), valid
+
+
+def robust_estimates(estimates):
+    """Drop differencing artifacts from a list of per-iter estimates.
+
+    A relay phase flip BETWEEN a pair's two runs can make t2-t1 tiny or
+    negative (observed: a 1900 img/s "estimate", 14x the device rate).
+    The bimodal phases differ by ~1.35x, so any estimate faster than
+    half the median of the positive estimates is an artifact, not the
+    device."""
+    finite = sorted(e for e in estimates if e > 0)
+    if not finite:
+        raise RuntimeError(f"no positive estimates in {estimates}")
+    floor = finite[len(finite) // 2] / 2.0
+    return [e for e in finite if e >= floor]
 
 
 def _retry_on_dead_relay(exc: BaseException) -> None:
