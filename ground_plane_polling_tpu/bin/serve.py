@@ -3,9 +3,9 @@ batches, write KITTI-format results as images arrive.
 
 The reference's deployment story is run_network's one-image-at-a-time loop
 (/root/reference/keras_retinanet_3D/bin/run_network.py:90-135). On TPU,
-batch >= 4 amortizes the per-dispatch overhead and saturates the chip
-(docs/PERFORMANCE.md: 158-161 img/s aggregate vs ~125 at batch 1), so this
-service micro-batches: new images are grouped by padded shape into
+batching amortizes the per-dispatch overhead (round-3 sweep at the
+416x1344 bucket: 221 img/s aggregate at batch 2, saturating ~215-220 from
+there — docs/PERFORMANCE.md), so this service micro-batches: new images are grouped by padded shape into
 fixed-size batches (short groups padded by repeating the last image — the
 padding rows are discarded), run through ONE compiled program per shape,
 and written out per image.
@@ -31,7 +31,10 @@ def parse_args(argv):
     p.add_argument("calib_dir")
     p.add_argument("plane_params_path")
     p.add_argument("output_dir")
-    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=2,
+               help="round-3 sweep: batch 2 is the aggregate-throughput\n"
+                    "sweet spot (221 img/s vs 215 at b8) at the lowest\n"
+                    "latency; see docs/PERFORMANCE.md")
     p.add_argument("--poll-interval", type=float, default=0.5)
     p.add_argument("--once", action="store_true",
                    help="process what's there, then exit (no watching)")
