@@ -71,6 +71,13 @@ def evaluate_detections(
             anns = ann_img[bucket]
             n_ann += len(anns)
             matched = set()
+            # Greedy matching is order-dependent: when two detections
+            # overlap one annotation, the higher-scored one must claim it
+            # (the reference sorts each image's detections by score before
+            # matching, eval.py:103-111) — so sort here rather than
+            # relying on the detector emitting score-sorted rows.
+            if len(dets) > 1:
+                dets = dets[np.argsort(-dets[:, 15])]
             for d in dets:
                 scores.append(d[15])
                 if len(anns) == 0:
