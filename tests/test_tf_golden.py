@@ -469,3 +469,94 @@ def test_fit_road_planes_matches_pallas_variant(ref, rng):
             if plane_match[bi, di]:
                 np.testing.assert_allclose(got_kp[bi, di], ref_kp[bi, di],
                                            rtol=1e-4, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# losses (training-side parity: reference losses.py:21-167)
+
+
+def _random_loss_batch(rng, b, n, c, p_ignore=0.2, p_pos=0.3):
+    """Training targets shaped like ops.targets' output: whole-row states
+    (ignore = all -1, negative = all 0, positive = one-hot), matching what
+    both pipelines actually feed their losses."""
+    state = rng.choice([-1, 0, 1], size=(b, n),
+                       p=[p_ignore, 1 - p_ignore - p_pos, p_pos])
+    cls_true = np.zeros((b, n, 8 * c), np.float32)
+    cls_true[state == -1] = -1.0
+    pos = np.argwhere(state == 1)
+    cls_true[pos[:, 0], pos[:, 1],
+             rng.randint(0, 8 * c, len(pos))] = 1.0
+    cls_pred = rng.uniform(0.02, 0.98, (b, n, 8 * c)).astype(np.float32)
+
+    box_true = np.concatenate(
+        [rng.normal(0, 1, (b, n, 12)), state[..., None]],
+        axis=2).astype(np.float32)
+    box_pred = rng.normal(0, 1, (b, n, 12)).astype(np.float32)
+
+    dim_state = rng.choice([-1, 0, 1], size=(b, n * c),
+                           p=[p_ignore, 1 - p_ignore - p_pos, p_pos])
+    dim_true = np.concatenate(
+        [rng.normal(0, 0.5, (b, n * c, 3)), dim_state[..., None]],
+        axis=2).astype(np.float32)
+    dim_pred = rng.normal(0, 0.5, (b, n, 3 * c)).astype(np.float32)
+    return cls_true, cls_pred, box_true, box_pred, dim_true, dim_pred
+
+
+@pytest.mark.parametrize("c", [1, 2])
+def test_losses_golden(ref, rng, c):
+    """Our masked-reduction losses == the reference's gather-based graph
+    losses (losses.py:21-167) on identical targets/predictions, including
+    the accidental height-only dim loss via full-rank gather_nd
+    (losses.py:142-149) under compat_height_only=True."""
+    from keras_retinanet_3D import losses as ref_losses
+
+    from ground_plane_polling_tpu.training import losses as our_losses
+
+    b, n = 2, 500
+    cls_t, cls_p, box_t, box_p, dim_t, dim_p = _random_loss_batch(
+        rng, b, n, c)
+
+    ref_focal, ref_sl1, ref_dim = ref.run([
+        ref_losses.focal()(tf.constant(cls_t), tf.constant(cls_p)),
+        ref_losses.smooth_l1()(tf.constant(box_t), tf.constant(box_p)),
+        ref_losses.smooth_l1_dim()(tf.constant(dim_t), tf.constant(dim_p)),
+    ])
+
+    got_focal = float(our_losses.focal(cls_t, cls_p))
+    got_sl1 = float(our_losses.smooth_l1(box_t, box_p))
+    got_dim_compat = float(our_losses.smooth_l1_dim(
+        dim_t, dim_p, compat_height_only=True))
+    got_dim_full = float(our_losses.smooth_l1_dim(dim_t, dim_p))
+
+    np.testing.assert_allclose(got_focal, ref_focal, rtol=2e-5)
+    np.testing.assert_allclose(got_sl1, ref_sl1, rtol=2e-5)
+    np.testing.assert_allclose(got_dim_compat, ref_dim, rtol=2e-5)
+    # the DEFAULT trains all three dim components — deliberately NOT the
+    # reference's height-only behavior (see training/losses.py docstring)
+    assert not np.isclose(got_dim_full, ref_dim, rtol=1e-3)
+
+
+def test_losses_golden_no_positives(ref, rng):
+    """Zero positive anchors: both sides clamp the normalizer to 1."""
+    from keras_retinanet_3D import losses as ref_losses
+
+    from ground_plane_polling_tpu.training import losses as our_losses
+
+    b, n, c = 1, 200, 1
+    cls_t, cls_p, box_t, box_p, dim_t, dim_p = _random_loss_batch(
+        rng, b, n, c, p_ignore=0.3, p_pos=0.0)
+
+    ref_focal, ref_sl1, ref_dim = ref.run([
+        ref_losses.focal()(tf.constant(cls_t), tf.constant(cls_p)),
+        ref_losses.smooth_l1()(tf.constant(box_t), tf.constant(box_p)),
+        ref_losses.smooth_l1_dim()(tf.constant(dim_t), tf.constant(dim_p)),
+    ])
+
+    np.testing.assert_allclose(
+        float(our_losses.focal(cls_t, cls_p)), ref_focal, rtol=2e-5)
+    np.testing.assert_allclose(
+        float(our_losses.smooth_l1(box_t, box_p)), ref_sl1, rtol=2e-5)
+    np.testing.assert_allclose(
+        float(our_losses.smooth_l1_dim(dim_t, dim_p,
+                                       compat_height_only=True)),
+        ref_dim, rtol=2e-5)
