@@ -84,13 +84,41 @@ def _scale(s):
     return jnp.array([[s[0], 0.0, 0.0], [0.0, s[1], 0.0], [0.0, 0.0, 1.0]])
 
 
+def compose_transform(angle, tx, shear_angle, scale, flip_x, flip_y,
+                      image_hw):
+    """Deterministic augmentation-matrix composition.
+
+    Matches the reference exactly (utils/transform.py:293-299 composed with
+    utils/image.py:65-82): rotation @ translation @ shear @ scaling @ flip,
+    after which the COMPOSED matrix's translation column is scaled by
+    (w, h) and the origin is moved to the image centre. Scaling after
+    composition means the relative translation is applied along the image
+    axes — NOT rotated with the image — which differs from scaling tx
+    before composing whenever rotation != 0 on a non-square image.
+
+    Args
+      angle, shear_angle: radians.
+      tx: (2,) translation as a fraction of (width, height).
+      scale: (2,) per-axis scale factors.
+      flip_x, flip_y: bool scalars.
+    """
+    h, w = image_hw
+    flip = _scale(jnp.stack([
+        1.0 - 2.0 * jnp.asarray(flip_x, jnp.float32),
+        1.0 - 2.0 * jnp.asarray(flip_y, jnp.float32),
+    ]))
+    m = _rot(angle) @ _trans(tx) @ _shear(shear_angle) @ _scale(scale) @ flip
+    m = m.at[:2, 2].multiply(jnp.array([w, h], jnp.float32))
+    centre = jnp.array([0.5 * w, 0.5 * h])
+    return _trans(centre) @ m @ _trans(-centre)
+
+
 def random_transform_matrix(key, image_hw, config: AugmentConfig = DEFAULT):
     """Random augmentation matrix for an (h, w) image.
 
     Returns (matrix (3, 3), flip_x (bool scalar)). Translation is relative to
     image size and the transform origin is the image centre.
     """
-    h, w = image_hw
     ks = jax.random.split(key, 6)
     angle = jax.random.uniform(ks[0], (), minval=config.min_rotation,
                                maxval=config.max_rotation)
@@ -105,14 +133,7 @@ def random_transform_matrix(key, image_hw, config: AugmentConfig = DEFAULT):
     flip_x = jax.random.uniform(ks[4], ()) < config.flip_x_chance
     flip_y = jax.random.uniform(ks[5], ()) < config.flip_y_chance
 
-    flip = _scale(jnp.array([
-        1.0 - 2.0 * flip_x.astype(jnp.float32),
-        1.0 - 2.0 * flip_y.astype(jnp.float32),
-    ]))
-    m = _rot(angle) @ _trans(tx * jnp.array([w, h])) @ _shear(shear) \
-        @ _scale(sc) @ flip
-    centre = jnp.array([0.5 * w, 0.5 * h])
-    m = _trans(centre) @ m @ _trans(-centre)
+    m = compose_transform(angle, tx, shear, sc, flip_x, flip_y, image_hw)
     return m, flip_x
 
 

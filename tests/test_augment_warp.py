@@ -53,3 +53,47 @@ def test_random_matrix_composition(rng):
     for seed in range(3):
         m, _ = random_transform_matrix(jax.random.PRNGKey(seed), (40, 56))
         _compare(np.asarray(m), img)
+
+
+# ---------------------------------------------------------------------------
+# composition golden vs the reference's own transform code
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("hw", [(375, 1242), (256, 256)])
+def test_compose_transform_matches_reference(seed, hw):
+    """compose_transform == the reference's random_transform composition +
+    adjust_transform_for_image (utils/transform.py:293-299,
+    utils/image.py:65-82) for identical drawn parameters — pinning the
+    scale-AFTER-compose relative-translation semantics (the translation is
+    applied along the image axes, not rotated with the image)."""
+    import sys
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    ref_image = pytest.importorskip("keras_retinanet_3D.utils.image")
+    ref_tf = pytest.importorskip("keras_retinanet_3D.utils.transform")
+
+    from ground_plane_polling_tpu.data.augment import compose_transform
+
+    rng = np.random.RandomState(seed)
+    angle = rng.uniform(-0.4, 0.4)
+    tx = rng.uniform(-0.2, 0.2, 2)
+    shear_angle = rng.uniform(-0.3, 0.3)
+    scale = rng.uniform(0.7, 1.3, 2)
+    flip_x, flip_y = bool(rng.rand() < 0.5), bool(rng.rand() < 0.5)
+
+    ref_m = np.linalg.multi_dot([
+        ref_tf.rotation(angle),
+        ref_tf.translation(tx),
+        ref_tf.shear(shear_angle),
+        ref_tf.scaling(scale),
+        ref_tf.scaling((1 - 2 * flip_x, 1 - 2 * flip_y)),
+    ])
+    h, w = hw
+    ref_m = ref_image.adjust_transform_for_image(
+        ref_m, np.zeros((h, w, 3), np.uint8), relative_translation=True)
+
+    got = np.asarray(compose_transform(angle, tx, shear_angle, scale,
+                                       flip_x, flip_y, hw))
+    np.testing.assert_allclose(got, ref_m, rtol=1e-5, atol=1e-4)
