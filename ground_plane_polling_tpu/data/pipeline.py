@@ -34,13 +34,29 @@ from .kitti import BGR_MEAN, KittiDataset, resize_scale
 __all__ = ["KittiLoader"]
 
 
-def _resize_image(image: np.ndarray, scale: float) -> np.ndarray:
+def _resize_image_pil(image: np.ndarray, scale: float) -> np.ndarray:
     from PIL import Image
 
     h, w = image.shape[:2]
     out = Image.fromarray(image.astype(np.uint8)).resize(
         (int(round(w * scale)), int(round(h * scale))), Image.BILINEAR)
     return np.asarray(out, dtype=np.float32)
+
+
+def _resize_image(image: np.ndarray, scale: float) -> np.ndarray:
+    """Bilinear resize by a uniform scale factor.
+
+    Prefers cv2 — the REFERENCE's resize kernel (utils/image.py:196-199
+    uses cv2.resize with the default INTER_LINEAR), so imported reference
+    checkpoints see bit-identical inference inputs — and falls back to PIL
+    bilinear (bounded deviation, ~2/255 mean on photographic content at
+    the KITTI scale; tests/test_data.py pins both)."""
+    try:
+        import cv2
+    except ImportError:
+        return _resize_image_pil(image, scale)
+    return cv2.resize(image.astype(np.uint8), None, fx=scale,
+                      fy=scale).astype(np.float32)
 
 
 def uint8_canvas(resized: np.ndarray, ph: int, pw: int) -> np.ndarray:

@@ -242,3 +242,45 @@ def test_photometric_identity_config(rng):
     img = rng.uniform(0, 255, (32, 32, 3)).astype(np.float32)
     out = np.asarray(photometric(jax.random.PRNGKey(0), img, cfg))
     np.testing.assert_allclose(out, img, rtol=1e-3, atol=0.5)
+
+
+# ---------------------------------------------------------------------------
+# host resize parity vs the reference's cv2 kernel
+
+
+def test_resize_image_matches_reference_cv2():
+    """_resize_image == the reference's cv2.resize exactly when cv2 is
+    available (reference utils/image.py:196-199, default INTER_LINEAR)."""
+    cv2 = pytest.importorskip("cv2")
+
+    from ground_plane_polling_tpu.data.kitti import resize_scale
+    from ground_plane_polling_tpu.data.pipeline import _resize_image
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (375, 1242, 3), dtype=np.uint8)
+    scale = resize_scale(img.shape[:2])
+    ours = _resize_image(img, scale)
+    ref = cv2.resize(img, None, fx=scale, fy=scale)
+    assert ours.shape == ref.shape
+    np.testing.assert_array_equal(ours, ref.astype(np.float32))
+
+
+def test_resize_image_pil_fallback_close():
+    """The PIL fallback stays within a bounded deviation of the cv2 kernel
+    on photographic (smooth) content at the KITTI scale."""
+    cv2 = pytest.importorskip("cv2")
+    from PIL import Image
+
+    from ground_plane_polling_tpu.data.kitti import resize_scale
+    from ground_plane_polling_tpu.data.pipeline import _resize_image_pil
+
+    rng = np.random.RandomState(0)
+    base = rng.uniform(0, 255, (47, 155, 3)).astype(np.uint8)
+    img = np.asarray(Image.fromarray(base).resize((1242, 375),
+                                                  Image.BILINEAR))
+    scale = resize_scale(img.shape[:2])
+    ours = _resize_image_pil(img, scale)
+    ref = cv2.resize(img, None, fx=scale, fy=scale).astype(np.float32)
+    assert ours.shape == ref.shape
+    diff = np.abs(ours - ref)
+    assert diff.mean() < 3.0 and np.percentile(diff, 99) < 12.0
