@@ -63,6 +63,12 @@ WINDOW_SECS = float(os.environ.get("GPP_BENCH_WINDOW_SECS", 150))
 B4_WINDOW_SECS = float(os.environ.get("GPP_BENCH_B4_WINDOW_SECS", 60))
 FUSE = os.environ.get("GPP_BENCH_FUSE", "0") == "1"
 TOP_K = int(os.environ.get("GPP_BENCH_TOPK", 1024))
+# int8 PTQ conv trunk (models/quantize.py). INT8=1 makes it the measured
+# config (metric names get an _int8 suffix — accuracy differs from bf16,
+# so it never silently replaces the headline); INT8_WINDOW_SECS > 0 adds
+# an int8 aux line to a default bf16 run.
+INT8 = os.environ.get("GPP_BENCH_INT8", "0") == "1"
+INT8_WINDOW_SECS = float(os.environ.get("GPP_BENCH_INT8_WINDOW_SECS", 0))
 
 
 def chained_run(fn, variables, images, P_inv, planes, iters):
@@ -184,10 +190,21 @@ def main():
         model = build_detector("resnet50", num_classes=1, dtype=jnp.bfloat16,
                                fuse_cls_dim=True)
         variables = fuse_detector_params(variables)
-    fn = make_detect_fn(model, IMAGE_SHAPE, num_classes=1, with_pose=True,
-                        pre_nms_top_k=TOP_K)
-
     images, P_inv, planes = _inputs(rng, BATCH)
+
+    def _quant_scales():
+        from ground_plane_polling_tpu.models.quantize import collect_scales
+
+        return collect_scales(lambda v, im: model.apply(v, im),
+                              [(variables, images)])
+
+    suffix = ""
+    quant_scales = None
+    if INT8:
+        quant_scales = _quant_scales()
+        suffix = "_int8"
+    fn = make_detect_fn(model, IMAGE_SHAPE, num_classes=1, with_pose=True,
+                        pre_nms_top_k=TOP_K, quant_scales=quant_scales)
 
     # aggregate-throughput aux lines (phase-stable; short windows suffice):
     # batch 2 is the measured serving sweet spot (docs/PERFORMANCE.md
@@ -198,9 +215,22 @@ def main():
             per_iter_a, _ = measure_envelope(
                 fn, variables, images_a, P_inv_a, planes_a,
                 B4_WINDOW_SECS, MIN_ESTIMATES)
-            emit(f"gpp_resnet50_e2e_inference_b{aux_b}",
+            emit(f"gpp_resnet50_e2e_inference_b{aux_b}{suffix}",
                  aux_b / per_iter_a, "images/sec/chip",
                  (aux_b / per_iter_a) / REFERENCE_FPS_ESTIMATE)
+
+    if INT8_WINDOW_SECS > 0 and not INT8:
+        # int8-PTQ aux line: same pipeline with the conv trunk int8
+        # (models/quantize.py; small accuracy delta, docs/PERFORMANCE.md)
+        fn_q = make_detect_fn(model, IMAGE_SHAPE, num_classes=1,
+                              with_pose=True, pre_nms_top_k=TOP_K,
+                              quant_scales=_quant_scales())
+        per_iter_q, _ = measure_envelope(
+            fn_q, variables, images, P_inv, planes,
+            INT8_WINDOW_SECS, MIN_ESTIMATES)
+        emit(f"gpp_resnet50_e2e_inference_b{BATCH}_int8",
+             BATCH / per_iter_q, "images/sec/chip",
+             (BATCH / per_iter_q) / REFERENCE_FPS_ESTIMATE)
 
     per_iter, estimates = measure_envelope(
         fn, variables, images, P_inv, planes, WINDOW_SECS, MIN_ESTIMATES)
@@ -210,19 +240,19 @@ def main():
     # (vs_baseline stays the measured/10 ratio on every img/s line)
     rates = sorted(BATCH / e for e in estimates)
     median = rates[len(rates) // 2]
-    emit(f"gpp_b{BATCH}_estimate_spread_median_n{len(rates)}", median,
-         "images/sec/chip", median / REFERENCE_FPS_ESTIMATE)
+    emit(f"gpp_b{BATCH}_estimate_spread_median_n{len(rates)}{suffix}",
+         median, "images/sec/chip", median / REFERENCE_FPS_ESTIMATE)
 
     flops = _flops_per_call(fn, variables, images, P_inv, planes)
-    if flops is not None:
+    if flops is not None and not INT8:
         tflops = flops / per_iter / 1e12
         mfu = tflops / PEAK_BF16_TFLOPS
         emit("gpp_resnet50_e2e_mfu", 100.0 * mfu,
              "percent_of_184tflops_bf16", mfu)
 
     # headline LAST: the driver parses the final JSON line
-    emit("gpp_resnet50_e2e_inference", images_per_sec, "images/sec/chip",
-         images_per_sec / REFERENCE_FPS_ESTIMATE)
+    emit(f"gpp_resnet50_e2e_inference{suffix}", images_per_sec,
+         "images/sec/chip", images_per_sec / REFERENCE_FPS_ESTIMATE)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,13 @@ def parse_args(argv):
                    help="single-device eval batch (same-shape images "
                         "grouped; identical results, ~30%% faster at >=4; "
                         "default 4; ignored under --data-parallel)")
+    p.add_argument("--int8", type=int, nargs="?", const=8, default=0,
+                   metavar="N",
+                   help="run the conv trunk int8 (PTQ, ~2x MXU rate), "
+                        "calibrating activation scales on the first N "
+                        "eval images (default 8). Parity evals should "
+                        "stay float — int8 trades a small accuracy delta "
+                        "for speed (docs/PERFORMANCE.md)")
     return p.parse_args(argv)
 
 
@@ -97,7 +104,8 @@ def main(argv=None):
         score_threshold=args.score_threshold,
         max_detections=args.max_detections,
         iou_threshold=args.iou_threshold, mesh=mesh,
-        eval_batch=args.eval_batch if args.eval_batch is not None else 4)
+        eval_batch=args.eval_batch if args.eval_batch is not None else 4,
+        int8_calib=args.int8)
 
     for bucket, (ap, n) in sorted(aps.items()):
         print(f"bucket {bucket} (class {bucket // 4}, orient {bucket % 4}): "

@@ -39,9 +39,17 @@ def parse_args(argv):
     p.add_argument("--score-threshold", type=float, default=0.05)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--int8", type=int, nargs="?", const=8, default=0,
+                   metavar="N",
+                   help="run the conv trunk int8 (PTQ, ~2x MXU rate), "
+                        "calibrating on the first N images (default 8)")
     p.add_argument("--fuse-towers", action="store_true",
                    help="run the cls+dim heads as one block-diagonal tower "
                         "(identical outputs, faster on TPU)")
+    p.add_argument("--image-min-side", type=int, default=800,
+                   help="resize so the short side is this (reference "
+                        "utils/image.py:174 hardcodes 800)")
+    p.add_argument("--image-max-side", type=int, default=1333)
     return p.parse_args(argv)
 
 
@@ -116,6 +124,7 @@ def main(argv=None):
                     exist_ok=True)
 
     detect_fns = {}
+    quant_scales = None
 
     def get_fn(shape):
         if shape not in detect_fns:
@@ -125,36 +134,58 @@ def main(argv=None):
                 class_specific=cfg.get("class_specific_filter", True),
                 orientation_specific=cfg.get("orientation_specific_filter",
                                              False),
+                quant_scales=quant_scales,
                 device_preprocess=True)
         return detect_fns[shape]
 
-    calib_files = sorted(f for f in os.listdir(args.calib_dir)
-                         if f.endswith(".txt"))
-    for j, fn in enumerate(calib_files):
+    def prepare(fn_txt):
+        """Host-side contract for one frame: read, resize, pad to the
+        32-multiple bucket (matches the data pipeline — the former 128
+        bucket carried 29% more pixels, measured 24-31% slower e2e),
+        scale the calibration."""
         image_fp = None
         for ext in (".png", ".jpg"):
-            cand = os.path.join(args.image_dir, fn.replace(".txt", ext))
+            cand = os.path.join(args.image_dir, fn_txt.replace(".txt", ext))
             if os.path.exists(cand):
                 image_fp = cand
                 break
         if image_fp is None:
-            continue
-
+            return None
         raw = read_image_bgr(image_fp)
-        scale = resize_scale(raw.shape[:2])
+        scale = resize_scale(raw.shape[:2], args.image_min_side,
+                             args.image_max_side)
         resized = _resize_image(raw.astype(np.float32), scale)
-        # pad to a 128-multiple static shape (few distinct shapes => few
-        # compiles; KITTI is single-resolution so usually exactly one)
-        ph = int(np.ceil(resized.shape[0] / 128)) * 128
-        pw = int(np.ceil(resized.shape[1] / 128)) * 128
+        ph = int(np.ceil(resized.shape[0] / 32)) * 32
+        pw = int(np.ceil(resized.shape[1] / 32)) * 32
         # uint8 payload; the detect fn runs device_preprocess
         image = uint8_canvas(resized, ph, pw)
+        P = read_calibration(os.path.join(args.calib_dir, fn_txt))
+        P_inv = np.linalg.pinv(np.diag([scale, scale, 1.0]) @ P)
+        return image_fp, raw, scale, image, P, P_inv
 
-        P = read_calibration(os.path.join(args.calib_dir, fn))
-        P_scaled = np.diag([scale, scale, 1.0]) @ P
-        P_inv = np.linalg.pinv(P_scaled)
+    calib_files = sorted(f for f in os.listdir(args.calib_dir)
+                         if f.endswith(".txt"))
 
-        fn_detect = get_fn((ph, pw))
+    if args.int8:
+        from ..models.quantize import collect_scales_uint8
+
+        canvases = []
+        for fn_txt in calib_files:
+            prep = prepare(fn_txt)
+            if prep is not None:
+                canvases.append(prep[3])
+            if len(canvases) >= args.int8:
+                break
+        if canvases:
+            quant_scales = collect_scales_uint8(model, variables, canvases)
+
+    for j, fn in enumerate(calib_files):
+        prep = prepare(fn)
+        if prep is None:
+            continue
+        image_fp, raw, scale, image, P, P_inv = prep
+
+        fn_detect = get_fn(image.shape[:2])
         t0 = time.time()
         out = fn_detect(
             variables, image[None],

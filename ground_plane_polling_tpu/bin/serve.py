@@ -45,6 +45,15 @@ def parse_args(argv):
     p.add_argument("--fuse-towers", action="store_true",
                    help="run the cls+dim heads as one block-diagonal tower "
                         "(identical outputs, faster on TPU)")
+    p.add_argument("--int8", type=int, nargs="?", const=8, default=0,
+                   metavar="N",
+                   help="run the conv trunk int8 (PTQ, ~2x MXU rate), "
+                        "calibrating activation scales on the first N "
+                        "served images (default 8)")
+    p.add_argument("--image-min-side", type=int, default=800,
+                   help="resize so the short side is this (reference "
+                        "utils/image.py:174 hardcodes 800)")
+    p.add_argument("--image-max-side", type=int, default=1333)
     return p.parse_args(argv)
 
 
@@ -83,6 +92,7 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
 
     detect_fns = {}
+    quant_scales = None
 
     def get_fn(shape):
         if shape not in detect_fns:
@@ -92,6 +102,7 @@ def main(argv=None):
                 class_specific=cfg.get("class_specific_filter", True),
                 orientation_specific=cfg.get("orientation_specific_filter",
                                              False),
+                quant_scales=quant_scales,
                 device_preprocess=True)
         return detect_fns[shape]
 
@@ -103,10 +114,13 @@ def main(argv=None):
         else:
             return None
         raw = read_image_bgr(fp)
-        scale = resize_scale(raw.shape[:2])
+        scale = resize_scale(raw.shape[:2], args.image_min_side,
+                             args.image_max_side)
         resized = _resize_image(raw.astype(np.float32), scale)
-        ph = int(np.ceil(resized.shape[0] / 128)) * 128
-        pw = int(np.ceil(resized.shape[1] / 128)) * 128
+        # 32-multiple bucket, matching the data pipeline (the 128 bucket
+        # was measured 24-31% slower end to end at KITTI resolution)
+        ph = int(np.ceil(resized.shape[0] / 32)) * 32
+        pw = int(np.ceil(resized.shape[1] / 32)) * 32
         padded = uint8_canvas(resized, ph, pw)
         P = read_calibration(os.path.join(args.calib_dir, stem + ".txt"))
         P_inv = np.linalg.pinv(np.diag([scale, scale, 1.0]) @ P)
@@ -166,6 +180,15 @@ def main(argv=None):
             if item is not None:
                 buckets.setdefault(item["shape"], []).append(item)
             done.add(stem)
+        if args.int8 and quant_scales is None and buckets:
+            # one-shot PTQ calibration on the first arrivals (before any
+            # detect fn is compiled, so every shape's program runs int8)
+            from ..models.quantize import collect_scales_uint8
+
+            canvases = [it["image"] for its in buckets.values()
+                        for it in its][:args.int8]
+            quant_scales = collect_scales_uint8(model, variables, canvases)
+            print(f"int8: calibrated on {len(canvases)} images", flush=True)
         t0 = time.time()
         n_round = 0
         pending = None  # one batch in flight: overlap fetch+writes with compute

@@ -32,7 +32,8 @@ __all__ = ["evaluate_model", "fit"]
 def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
                    score_threshold: float = 0.05, max_detections: int = 100,
                    iou_threshold: float = 0.5, mesh=None,
-                   eval_batch: int = 1, **detect_kwargs):
+                   eval_batch: int = 1, int8_calib: int = 0,
+                   **detect_kwargs):
     """Full validation sweep -> (mean_ap, errors dict, per-bucket APs).
 
     With `mesh`, images of the same padded shape are grouped into mesh-sized
@@ -77,6 +78,26 @@ def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
         return detect_fns[key]
 
     variables = {"params": state.params, "frozen": state.frozen}
+
+    if int8_calib:
+        # int8 PTQ sweep: calibrate activation scales on the first
+        # int8_calib eval images, then run the conv trunk int8
+        # (models/quantize.py). Accuracy cost measured in
+        # docs/PERFORMANCE.md; parity evals should stay float.
+        import itertools
+
+        from ..data.kitti import BGR_MEAN
+        from ..models.quantize import collect_scales
+
+        batches = []
+        for item in itertools.islice(loader.eval_inputs(), int8_calib):
+            im = np.asarray(item["image"], np.float32)
+            if np.dtype(item["image"].dtype) == np.uint8:
+                im = im - BGR_MEAN
+            batches.append((variables, jax.numpy.asarray(im)))
+        detect_kwargs["quant_scales"] = collect_scales(
+            lambda v, im: model.apply(v, im), batches)
+
     group_size = int(mesh.devices.size) if mesh is not None else \
         max(int(eval_batch), 1)
 
