@@ -19,6 +19,14 @@ GPP_BENCH_WINDOW_SECS window (default 150 s, ~10 s apart) and reports the
 fastest — the clear-path envelope, which tracks the device's actual
 throughput rather than the relay's mood.
 
+The differencing pair is LONG — (N1, N2) = (25, 125) — because a relay
+phase flip BETWEEN a pair's two runs shrinks t2-t1 and inflates the
+estimate; a same-session A/B (tools/verify_envelope.py, docs/PERFORMANCE.md
+round 3) measured short (5, 25) pairs inflating the b1 envelope 259 vs 168
+img/s and b4 245 vs a dead-tight 203, while long pairs agree with the
+median to within the real phase spread. 100 differenced iterations put a
+mid-pair flip inside one run where it averages out.
+
 The reference publishes no numbers; its per-image frame-rate print
 (run_network.py:108-111) on the Keras/TF-1.9 stack runs a ~5 fps-class
 pipeline on a contemporary GPU. vs_baseline is reported against 10 img/s —
@@ -29,7 +37,8 @@ estimate spread) followed by the headline JSON line LAST:
   {"metric", "value", "unit", "vs_baseline"}.
 Env overrides: GPP_BENCH_PLANES, GPP_BENCH_BATCH, GPP_BENCH_FUSE,
 GPP_BENCH_TOPK, GPP_BENCH_WINDOW_SECS, GPP_BENCH_B4_WINDOW_SECS (0 skips
-the batch-4 line), GPP_BENCH_REPEATS (minimum estimates per window).
+the batch-4 line), GPP_BENCH_REPEATS (minimum estimates per window),
+GPP_BENCH_PAIR ("N1,N2" differencing pair, default "25,125").
 """
 
 import json
@@ -57,7 +66,7 @@ PEAK_BF16_TFLOPS = 184.0
 IMAGE_SHAPE = (416, 1344)
 N_PLANES = int(os.environ.get("GPP_BENCH_PLANES", 1024))
 BATCH = int(os.environ.get("GPP_BENCH_BATCH", 1))
-N1, N2 = 5, 25
+N1, N2 = (int(n) for n in os.environ.get("GPP_BENCH_PAIR", "25,125").split(","))
 MIN_ESTIMATES = int(os.environ.get("GPP_BENCH_REPEATS", 3))
 WINDOW_SECS = float(os.environ.get("GPP_BENCH_WINDOW_SECS", 150))
 B4_WINDOW_SECS = float(os.environ.get("GPP_BENCH_B4_WINDOW_SECS", 60))
