@@ -26,6 +26,21 @@ def test_robust_estimates_all_invalid_raises():
         bench.robust_estimates([-0.1, 0.0])
 
 
+def test_pair_env_override(monkeypatch):
+    """GPP_BENCH_PAIR selects the differencing pair; default is the
+    long (25,125) pair (mid-pair phase flips average out inside one
+    125-iteration run; see tools/verify_envelope.py)."""
+    import importlib
+
+    assert (bench.N1, bench.N2) == (25, 125)
+    monkeypatch.setenv("GPP_BENCH_PAIR", "5,25")
+    try:
+        assert (importlib.reload(bench).N1, bench.N2) == (5, 25)
+    finally:
+        monkeypatch.delenv("GPP_BENCH_PAIR")
+        importlib.reload(bench)
+
+
 def test_headline_is_final_json_line(monkeypatch):
     """The driver parses the LAST stdout line; it must be the headline."""
     import io
