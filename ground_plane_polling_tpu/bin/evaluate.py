@@ -43,6 +43,11 @@ def parse_args(argv):
                         "eval images (default 8). Parity evals should "
                         "stay float — int8 trades a small accuracy delta "
                         "for speed (docs/PERFORMANCE.md)")
+    p.add_argument("--int8-percentile", type=float, default=100.0,
+                   help="clip each conv input's calibrated range to this "
+                        "percentile of |x| (100 = absmax). Outlier "
+                        "activations stretch the int8 grid; 99.9-99.99 "
+                        "typically recovers accuracy (docs/PERFORMANCE.md)")
     return p.parse_args(argv)
 
 
@@ -105,7 +110,7 @@ def main(argv=None):
         max_detections=args.max_detections,
         iou_threshold=args.iou_threshold, mesh=mesh,
         eval_batch=args.eval_batch if args.eval_batch is not None else 4,
-        int8_calib=args.int8)
+        int8_calib=args.int8, int8_percentile=args.int8_percentile)
 
     for bucket, (ap, n) in sorted(aps.items()):
         print(f"bucket {bucket} (class {bucket // 4}, orient {bucket % 4}): "

@@ -43,6 +43,10 @@ def parse_args(argv):
                    metavar="N",
                    help="run the conv trunk int8 (PTQ, ~2x MXU rate), "
                         "calibrating on the first N images (default 8)")
+    p.add_argument("--int8-percentile", type=float, default=100.0,
+                   help="clip calibrated ranges to this percentile of |x| "
+                        "(100 = absmax; 99.9-99.99 typically recovers "
+                        "accuracy, docs/PERFORMANCE.md)")
     p.add_argument("--fuse-towers", action="store_true",
                    help="run the cls+dim heads as one block-diagonal tower "
                         "(identical outputs, faster on TPU)")
@@ -177,7 +181,9 @@ def main(argv=None):
             if len(canvases) >= args.int8:
                 break
         if canvases:
-            quant_scales = collect_scales_uint8(model, variables, canvases)
+            quant_scales = collect_scales_uint8(
+                model, variables, canvases,
+                percentile=args.int8_percentile)
 
     for j, fn in enumerate(calib_files):
         prep = prepare(fn)

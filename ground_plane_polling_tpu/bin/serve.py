@@ -50,6 +50,10 @@ def parse_args(argv):
                    help="run the conv trunk int8 (PTQ, ~2x MXU rate), "
                         "calibrating activation scales on the first N "
                         "served images (default 8)")
+    p.add_argument("--int8-percentile", type=float, default=100.0,
+                   help="clip calibrated ranges to this percentile of |x| "
+                        "(100 = absmax; 99.9-99.99 typically recovers "
+                        "accuracy, docs/PERFORMANCE.md)")
     p.add_argument("--image-min-side", type=int, default=800,
                    help="resize so the short side is this (reference "
                         "utils/image.py:174 hardcodes 800)")
@@ -187,7 +191,9 @@ def main(argv=None):
 
             canvases = [it["image"] for its in buckets.values()
                         for it in its][:args.int8]
-            quant_scales = collect_scales_uint8(model, variables, canvases)
+            quant_scales = collect_scales_uint8(
+                model, variables, canvases,
+                percentile=args.int8_percentile)
             print(f"int8: calibrated on {len(canvases)} images", flush=True)
         t0 = time.time()
         n_round = 0

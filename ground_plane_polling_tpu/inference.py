@@ -238,7 +238,7 @@ class GPPDetector:
         self.quant_scales = None
         self._fns = {}
 
-    def quantize(self, calib_images):
+    def quantize(self, calib_images, percentile: float = 100.0):
         """Calibrate and enable the int8 conv trunk (models/quantize.py).
 
         calib_images: iterable of PREPROCESSED float32 (B, H, W, 3) network
@@ -254,7 +254,7 @@ class GPPDetector:
         fn = lambda v, im: self.model.apply(v, im)
         self.quant_scales = collect_scales(
             fn, [(self.variables, jnp.asarray(im, jnp.float32))
-                 for im in calib_images])
+                 for im in calib_images], percentile=percentile)
         self._fns.clear()
         return self.quant_scales
 

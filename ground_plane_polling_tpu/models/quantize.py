@@ -129,18 +129,30 @@ def count_convs(fn, *args) -> int:
     return n[0]
 
 
-def make_calibration_fn(fn) -> Callable:
+def make_calibration_fn(fn, percentile: float = 100.0) -> Callable:
     """Jittable stats pass: returns per-conv-site input absmax (f32 (S,)).
 
     calib(*args) -> (S,) array; take the elementwise running max over
     calibration batches and feed the result to `quantize_apply`.
+
+    `percentile` < 100 clips each site's range to that percentile of
+    |x| instead of the absolute max — outlier activations (a handful of
+    pixels) otherwise stretch the int8 grid and waste resolution on
+    values that never recur (standard PTQ practice; the accuracy sweep
+    is in docs/PERFORMANCE.md).
     """
+
+    def stat(x):
+        ax = jnp.abs(x).astype(jnp.float32)
+        if percentile >= 100.0:
+            return jnp.max(ax)
+        return jnp.percentile(ax.reshape(-1), percentile)
 
     def calib(*args):
         maxes = []
 
         def cb(site, eqn, invals):
-            maxes.append(jnp.max(jnp.abs(invals[0])).astype(jnp.float32))
+            maxes.append(stat(invals[0]))
             return eqn.primitive.bind(*invals, **eqn.params)
 
         _intercept(fn, cb)(*args)
@@ -149,10 +161,12 @@ def make_calibration_fn(fn) -> Callable:
     return calib
 
 
-def collect_scales(fn, batches: Sequence) -> np.ndarray:
+def collect_scales(fn, batches: Sequence,
+                   percentile: float = 100.0) -> np.ndarray:
     """Run the calibration pass over `batches` (tuples of fn args) and
-    return per-site int8 activation scales (absmax / 127)."""
-    calib = jax.jit(make_calibration_fn(fn))
+    return per-site int8 activation scales (absmax / 127, or the
+    `percentile`-clipped range — see make_calibration_fn)."""
+    calib = jax.jit(make_calibration_fn(fn, percentile=percentile))
     absmax = None
     for args in batches:
         m = np.asarray(calib(*args))
@@ -160,7 +174,8 @@ def collect_scales(fn, batches: Sequence) -> np.ndarray:
     return np.maximum(absmax, _EPS) / 127.0
 
 
-def collect_scales_uint8(model, variables, canvases) -> np.ndarray:
+def collect_scales_uint8(model, variables, canvases,
+                         percentile: float = 100.0) -> np.ndarray:
     """Calibrate from raw uint8 BGR network canvases (the serving CLIs'
     upload format): cast + caffe-mean subtraction to match the network's
     inference-time input distribution, then `collect_scales`."""
@@ -172,7 +187,8 @@ def collect_scales_uint8(model, variables, canvases) -> np.ndarray:
         if im.ndim == 3:
             im = im[None]
         batches.append((variables, jnp.asarray(im)))
-    return collect_scales(lambda v, im: model.apply(v, im), batches)
+    return collect_scales(lambda v, im: model.apply(v, im), batches,
+                          percentile=percentile)
 
 
 def quantize_apply(fn, scales) -> Callable:

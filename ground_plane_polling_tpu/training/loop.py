@@ -33,6 +33,7 @@ def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
                    score_threshold: float = 0.05, max_detections: int = 100,
                    iou_threshold: float = 0.5, mesh=None,
                    eval_batch: int = 1, int8_calib: int = 0,
+                   int8_percentile: float = 100.0,
                    **detect_kwargs):
     """Full validation sweep -> (mean_ap, errors dict, per-bucket APs).
 
@@ -96,7 +97,8 @@ def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
                 im = im - BGR_MEAN
             batches.append((variables, jax.numpy.asarray(im)))
         detect_kwargs["quant_scales"] = collect_scales(
-            lambda v, im: model.apply(v, im), batches)
+            lambda v, im: model.apply(v, im), batches,
+            percentile=int8_percentile)
 
     group_size = int(mesh.devices.size) if mesh is not None else \
         max(int(eval_batch), 1)
