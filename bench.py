@@ -66,7 +66,13 @@ PEAK_BF16_TFLOPS = 184.0
 IMAGE_SHAPE = (416, 1344)
 N_PLANES = int(os.environ.get("GPP_BENCH_PLANES", 1024))
 BATCH = int(os.environ.get("GPP_BENCH_BATCH", 1))
-N1, N2 = (int(n) for n in os.environ.get("GPP_BENCH_PAIR", "25,125").split(","))
+try:
+    N1, N2 = (int(n) for n in
+              os.environ.get("GPP_BENCH_PAIR", "25,125").split(","))
+except ValueError:
+    raise SystemExit("GPP_BENCH_PAIR must be 'N1,N2' (two integers)")
+if not 0 < N1 < N2:
+    raise SystemExit(f"GPP_BENCH_PAIR needs 0 < N1 < N2, got {N1},{N2}")
 MIN_ESTIMATES = int(os.environ.get("GPP_BENCH_REPEATS", 3))
 WINDOW_SECS = float(os.environ.get("GPP_BENCH_WINDOW_SECS", 150))
 B4_WINDOW_SECS = float(os.environ.get("GPP_BENCH_B4_WINDOW_SECS", 60))
@@ -78,7 +84,8 @@ TOP_K = int(os.environ.get("GPP_BENCH_TOPK", 1024))
 # an int8 aux line at batch 4 — the regime where int8 wins (+42%
 # aggregate; at b1 the pipeline is dispatch-bound and int8 is neutral,
 # docs/PERFORMANCE.md round 3 session I) — to a default bf16 run.
-# 0 disables the aux line.
+# 0 disables the aux line; it only runs on a default BATCH == 1 bench
+# (batch-override A/B sweeps should not pay a fresh int8 compile).
 INT8 = os.environ.get("GPP_BENCH_INT8", "0") == "1"
 INT8_WINDOW_SECS = float(os.environ.get("GPP_BENCH_INT8_WINDOW_SECS", 60))
 INT8_AUX_BATCH = 4
@@ -232,14 +239,14 @@ def main():
                  aux_b / per_iter_a, "images/sec/chip",
                  (aux_b / per_iter_a) / REFERENCE_FPS_ESTIMATE)
 
-    if INT8_WINDOW_SECS > 0 and not INT8:
+    if INT8_WINDOW_SECS > 0 and not INT8 and BATCH == 1:
         # int8-PTQ aux line at batch 4: same pipeline with the conv trunk
         # int8 (models/quantize.py; ~1-pt mAP cost, +42% aggregate at b4
         # where the pipeline is compute-bound, docs/PERFORMANCE.md)
         fn_q = make_detect_fn(model, IMAGE_SHAPE, num_classes=1,
                               with_pose=True, pre_nms_top_k=TOP_K,
                               quant_scales=_quant_scales())
-        b_q = INT8_AUX_BATCH if BATCH == 1 else BATCH
+        b_q = INT8_AUX_BATCH
         images_q, P_inv_q, planes_q = _inputs(rng, b_q)
         per_iter_q, _ = measure_envelope(
             fn_q, variables, images_q, P_inv_q, planes_q,

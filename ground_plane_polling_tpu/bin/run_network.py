@@ -170,12 +170,14 @@ def main(argv=None):
     calib_files = sorted(f for f in os.listdir(args.calib_dir)
                          if f.endswith(".txt"))
 
+    prepared = {}  # int8-calibration frames, reused by the main loop
     if args.int8:
         from ..models.quantize import collect_scales_uint8
 
         canvases = []
         for fn_txt in calib_files:
             prep = prepare(fn_txt)
+            prepared[fn_txt] = prep
             if prep is not None:
                 canvases.append(prep[3])
             if len(canvases) >= args.int8:
@@ -186,7 +188,7 @@ def main(argv=None):
                 percentile=args.int8_percentile)
 
     for j, fn in enumerate(calib_files):
-        prep = prepare(fn)
+        prep = prepared.pop(fn) if fn in prepared else prepare(fn)
         if prep is None:
             continue
         image_fp, raw, scale, image, P, P_inv = prep

@@ -165,13 +165,22 @@ def collect_scales(fn, batches: Sequence,
                    percentile: float = 100.0) -> np.ndarray:
     """Run the calibration pass over `batches` (tuples of fn args) and
     return per-site int8 activation scales (absmax / 127, or the
-    `percentile`-clipped range — see make_calibration_fn)."""
+    `percentile`-clipped range — see make_calibration_fn).
+
+    Cross-batch aggregation: absmax takes the running max (the true
+    absmax of the pooled data); percentile stats take the MEAN of the
+    per-batch percentiles — a max would converge back toward absmax as
+    calibration batches grow (the max of N per-batch p99.9s approaches
+    the worst image's tail), silently undoing the clip the flag asks
+    for. The mean is a stable estimator of the pooled percentile under
+    the i.i.d.-batches assumption that calibration already makes."""
     calib = jax.jit(make_calibration_fn(fn, percentile=percentile))
-    absmax = None
-    for args in batches:
-        m = np.asarray(calib(*args))
-        absmax = m if absmax is None else np.maximum(absmax, m)
-    return np.maximum(absmax, _EPS) / 127.0
+    stats = [np.asarray(calib(*args)) for args in batches]
+    if percentile >= 100.0:
+        agg = np.maximum.reduce(stats)
+    else:
+        agg = np.mean(stats, axis=0)
+    return np.maximum(agg, _EPS) / 127.0
 
 
 def collect_scales_uint8(model, variables, canvases,

@@ -32,12 +32,18 @@ def test_pair_env_override(monkeypatch):
     125-iteration run; see tools/verify_envelope.py)."""
     import importlib
 
-    assert (bench.N1, bench.N2) == (25, 125)
-    monkeypatch.setenv("GPP_BENCH_PAIR", "5,25")
+    monkeypatch.delenv("GPP_BENCH_PAIR", raising=False)
     try:
+        assert (importlib.reload(bench).N1, bench.N2) == (25, 125)
+        monkeypatch.setenv("GPP_BENCH_PAIR", "5,25")
         assert (importlib.reload(bench).N1, bench.N2) == (5, 25)
+        # invalid pairs die loudly at import, before any TPU compile
+        for bad in ("25", "25,25", "125,25"):
+            monkeypatch.setenv("GPP_BENCH_PAIR", bad)
+            with pytest.raises(SystemExit):
+                importlib.reload(bench)
     finally:
-        monkeypatch.delenv("GPP_BENCH_PAIR")
+        monkeypatch.delenv("GPP_BENCH_PAIR", raising=False)
         importlib.reload(bench)
 
 

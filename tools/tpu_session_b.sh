@@ -21,9 +21,9 @@ else
 fi
 
 echo "=== 3. bench: default config ==="
-retry python bench.py || true
+GPP_BENCH_INT8_WINDOW_SECS=0 retry python bench.py || true
 echo "=== 3b. bench: 21634 planes ==="
-GPP_BENCH_PLANES=21634 retry python bench.py || true
+GPP_BENCH_INT8_WINDOW_SECS=0 GPP_BENCH_PLANES=21634 retry python bench.py || true
 echo "=== 3c. bench: batch 8 ==="
-GPP_BENCH_BATCH=8 retry python bench.py || true
+GPP_BENCH_INT8_WINDOW_SECS=0 GPP_BENCH_BATCH=8 retry python bench.py || true
 echo "=== session B done ==="

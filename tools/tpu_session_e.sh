@@ -11,17 +11,17 @@ source tools/tpu_lib.sh
 
 
 echo "=== E0. baseline b1 (session anchor) ==="
-retry python bench.py || true
+GPP_BENCH_INT8_WINDOW_SECS=0 retry python bench.py || true
 echo "=== E1a. top_k=512 b1 ==="
-GPP_BENCH_TOPK=512 retry python bench.py || true
+GPP_BENCH_INT8_WINDOW_SECS=0 GPP_BENCH_TOPK=512 retry python bench.py || true
 echo "=== E1b. top_k=256 b1 ==="
-GPP_BENCH_TOPK=256 retry python bench.py || true
+GPP_BENCH_INT8_WINDOW_SECS=0 GPP_BENCH_TOPK=256 retry python bench.py || true
 echo "=== E1c. top_k=512 b4 ==="
-GPP_BENCH_TOPK=512 GPP_BENCH_BATCH=4 retry python bench.py || true
+GPP_BENCH_INT8_WINDOW_SECS=0 GPP_BENCH_TOPK=512 GPP_BENCH_BATCH=4 retry python bench.py || true
 echo "=== E2. latency-hiding scheduler b1 ==="
-XLA_FLAGS="--xla_tpu_enable_latency_hiding_scheduler=true" retry python bench.py || true
+GPP_BENCH_INT8_WINDOW_SECS=0 XLA_FLAGS="--xla_tpu_enable_latency_hiding_scheduler=true" retry python bench.py || true
 echo "=== E3. scoped vmem 64MiB b1 ==="
-XLA_FLAGS="--xla_tpu_scoped_vmem_limit_kib=65536" retry python bench.py || true
+GPP_BENCH_INT8_WINDOW_SECS=0 XLA_FLAGS="--xla_tpu_scoped_vmem_limit_kib=65536" retry python bench.py || true
 
 echo "=== E4. training epoch wall time (uint8 image upload) ==="
 # 3 epochs, no eval — compare per-epoch 'seconds' against the f32-upload

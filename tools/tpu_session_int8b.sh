@@ -5,8 +5,8 @@
 #   3. int8 bench at b2 and b8 (b1/b4 measured in session I)
 # One python process at a time (single-tenant chip).
 set -uo pipefail
-cd /root/repo
-source tools/tpu_lib.sh
+cd "$(dirname "$0")/.." || exit 1
+source tools/tpu_lib.sh || exit 1
 
 MODEL=${MODEL:-/tmp/full_res_long/model.npz}
 DATA=${DATA:-/tmp/full_res_kitti}

@@ -16,13 +16,14 @@ Usage (TPU, one python at a time):
   tools/tpu_run.sh python tools/verify_envelope.py [batch ...]
 """
 
+import os
 import sys
 import time
 
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import (IMAGE_SHAPE, TOP_K, _inputs, chained_run,  # noqa: E402
                    robust_estimates)
