@@ -13,13 +13,13 @@ from ground_plane_polling_tpu.models import quantize as q
 @pytest.fixture(scope="module")
 def tiny():
     model = build_detector("tiny", num_classes=1, dtype=jnp.bfloat16)
-    x0 = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    x0 = jnp.zeros((1, 48, 64, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x0)
     fn = lambda v, im: model.apply(v, im)
     return model, variables, fn
 
 
-def _images(n=2, hw=(64, 96), seed=0):
+def _images(n=2, hw=(48, 64), seed=0):
     rng = np.random.RandomState(seed)
     return [jnp.asarray(rng.uniform(-128, 128, (1, *hw, 3)), jnp.float32)
             for _ in range(n)]
@@ -109,12 +109,12 @@ def test_quantized_detect_fn(tiny):
     planes = jnp.asarray(
         np.tile(np.array([[0.0, 1.0, 0.0, -1.5]]), (16, 1))[None],
         jnp.float32)
-    P = np.array([[700.0, 0, 48, 0], [0, 700.0, 32, 0], [0, 0, 1, 0]])
+    P = np.array([[700.0, 0, 32, 0], [0, 700.0, 24, 0], [0, 0, 1, 0]])
     P_inv = jnp.asarray(np.linalg.pinv(P)[None], jnp.float32)
 
     kw = dict(num_classes=1, with_pose=True, score_threshold=1e-4)
-    f32_fn = make_detect_fn(model, (64, 96), **kw)
-    q_fn = make_detect_fn(model, (64, 96), quant_scales=scales, **kw)
+    f32_fn = make_detect_fn(model, (48, 64), **kw)
+    q_fn = make_detect_fn(model, (48, 64), quant_scales=scales, **kw)
 
     ref = f32_fn(variables, ims[0], P_inv, planes)
     got = q_fn(variables, ims[0], P_inv, planes)
@@ -133,10 +133,10 @@ def test_detector_quantize_api(tiny):
     from ground_plane_polling_tpu.inference import GPPDetector
 
     det = GPPDetector("tiny", num_classes=1, score_threshold=1e-4)
-    det.init(jax.random.PRNGKey(0), (64, 96))
+    det.init(jax.random.PRNGKey(0), (48, 64))
     ims = _images(1)
     planes = np.tile(np.array([[0.0, 1.0, 0.0, -1.5]]), (16, 1))
-    P = np.array([[700.0, 0, 48, 0], [0, 700.0, 32, 0], [0, 0, 1, 0]])
+    P = np.array([[700.0, 0, 32, 0], [0, 700.0, 24, 0], [0, 0, 1, 0]])
     P_inv = jnp.asarray(np.linalg.pinv(P)[None], jnp.float32)
 
     out_f = det(ims[0], P_inv, jnp.asarray(planes[None], jnp.float32))
