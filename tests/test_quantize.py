@@ -146,3 +146,29 @@ def test_detector_quantize_api(tiny):
     assert np.asarray(out_q.scores).shape == np.asarray(out_f.scores).shape
     assert scales.shape[0] == q.count_convs(
         lambda v, im: det.model.apply(v, im), det.variables, ims[0])
+
+
+def test_quantize_composes_with_fused_towers():
+    """The jaxpr interceptor sees the block-diagonal fused cls+dim tower
+    like any other conv graph: the quantized fused forward stays within
+    the int8 error bound of the float fused forward (the combination
+    GPP_BENCH_FUSE=1 + GPP_BENCH_INT8=1 serves; measured on-chip in
+    docs/PERFORMANCE.md session K)."""
+    from ground_plane_polling_tpu.models import fuse_detector_params
+
+    base = build_detector("tiny", num_classes=1, dtype=jnp.bfloat16)
+    x0 = jnp.zeros((1, 48, 64, 3), jnp.float32)
+    variables = fuse_detector_params(base.init(jax.random.PRNGKey(0), x0))
+    model = build_detector("tiny", num_classes=1, dtype=jnp.bfloat16,
+                           fuse_cls_dim=True)
+    fn = lambda v, im: model.apply(v, im)
+    ims = _images(2)
+    scales = q.collect_scales(fn, [(variables, im) for im in ims])
+    qfn = jax.jit(q.quantize_apply(fn, scales))
+    ref = fn(variables, ims[0])
+    got = qfn(variables, ims[0])
+    for k in ref:
+        r = np.asarray(ref[k], np.float32)
+        g = np.asarray(got[k], np.float32)
+        denom = max(float(np.abs(r).max()), 1e-6)
+        assert np.abs(r - g).max() / denom < 0.08, k
