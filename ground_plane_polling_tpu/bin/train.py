@@ -38,6 +38,10 @@ def parse_args(argv):
                    help="checkpoint every N epochs (last epoch always "
                         "saved); a full-params device->host pull per "
                         "checkpoint is expensive on a remote-attached chip")
+    p.add_argument("--sync-snapshots", action="store_true",
+                   help="save checkpoints synchronously (default: the "
+                        "device->host pull + write overlap the next "
+                        "epoch's training via AsyncCheckpointSaver)")
     p.add_argument("--freeze-backbone", action="store_true")
     p.add_argument("--random-transform", action="store_true")
     p.add_argument("--image-min-side", type=int, default=800)
@@ -157,7 +161,7 @@ def main(argv=None):
         checkpoint_dir=None if args.no_snapshots else args.snapshot_path,
         checkpoint_every=args.snapshot_every,
         log_path=args.log_path, tensorboard_dir=args.tensorboard_dir,
-        eval_mesh=eval_mesh)
+        eval_mesh=eval_mesh, async_checkpoints=not args.sync_snapshots)
     return state
 
 

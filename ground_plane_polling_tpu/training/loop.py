@@ -22,7 +22,8 @@ import numpy as np
 from ..inference import make_detect_fn
 from ..utils.eval import (bucket_annotations, bucket_detections,
                           evaluate_detections)
-from .checkpoint import prune_checkpoints, save_checkpoint
+from .checkpoint import (AsyncCheckpointSaver, prune_checkpoints,
+                         save_checkpoint)
 from .schedule import ReduceLROnPlateau
 from .train import TrainState
 
@@ -178,14 +179,21 @@ def fit(model, state: TrainState, train_step: Callable, train_loader,
         nan_guard: bool = True,
         keep_checkpoints: int = 5,
         checkpoint_every: int = 1,
-        eval_mesh=None):
+        eval_mesh=None,
+        async_checkpoints: bool = True):
     """Run the training loop; returns the final TrainState.
 
     nan_guard: failure detection — a non-finite loss aborts the run with a
     clear error (after flushing logs) instead of silently corrupting the
     parameters and every subsequent checkpoint.
+
+    async_checkpoints: overlap each snapshot's device->host params pull
+    with the next epoch's training (AsyncCheckpointSaver); the in-flight
+    save is joined before the next snapshot and before fit() returns, so
+    the returned state is always durably checkpointed.
     """
     lr_schedule = lr_schedule or ReduceLROnPlateau()
+    saver = AsyncCheckpointSaver() if async_checkpoints else None
     log_f = open(log_path, "a") if log_path else None
     tb_writer = None
     if tensorboard_dir:
@@ -249,10 +257,24 @@ def fit(model, state: TrainState, train_step: Callable, train_loader,
             if checkpoint_dir and (
                     (epoch + 1) % max(checkpoint_every, 1) == 0
                     or epoch == epochs - 1):
-                record["checkpoint"] = save_checkpoint(checkpoint_dir, state)
-                prune_checkpoints(checkpoint_dir, keep=keep_checkpoints)
+                if saver is not None:
+                    # join the previous save and prune BEFORE starting the
+                    # new one: every dir pruning sees is complete, and a
+                    # crash mid-write always leaves the last completed
+                    # checkpoint on disk (disk briefly holds keep+1)
+                    saver.wait()
+                    prune_checkpoints(checkpoint_dir, keep=keep_checkpoints)
+                    record["checkpoint"] = saver.save(checkpoint_dir, state)
+                else:
+                    record["checkpoint"] = save_checkpoint(
+                        checkpoint_dir, state)
+                    prune_checkpoints(checkpoint_dir, keep=keep_checkpoints)
             log(record)
     finally:
+        if saver is not None:
+            saver.wait()
+            if checkpoint_dir:  # the final save skipped its own prune
+                prune_checkpoints(checkpoint_dir, keep=keep_checkpoints)
         if log_f:
             log_f.close()
         if tb_writer:

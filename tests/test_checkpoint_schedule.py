@@ -7,8 +7,8 @@ import jax.numpy as jnp
 
 from ground_plane_polling_tpu.models import build_detector
 from ground_plane_polling_tpu.training.checkpoint import (
-    export_params, import_params, latest_checkpoint, restore_checkpoint,
-    save_checkpoint)
+    AsyncCheckpointSaver, export_params, import_params, latest_checkpoint,
+    restore_checkpoint, save_checkpoint)
 from ground_plane_polling_tpu.training.schedule import ReduceLROnPlateau
 from ground_plane_polling_tpu.training.train import (
     create_train_state, make_optimizer)
@@ -38,6 +38,44 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpoint_saver(tmp_path):
+    """The background save writes a checkpoint identical to the
+    synchronous path, survives mutation of the live state after save()
+    returns (the on-device copy isolates it from buffer donation), and
+    re-raises writer-thread failures on wait()."""
+    _, state = _state()
+    state = state._replace(step=jnp.asarray(3, jnp.int32))
+    saver = AsyncCheckpointSaver()
+    path = saver.save(str(tmp_path / "ckpt"), state)
+
+    # mutate the "live" state while the save is (possibly) in flight —
+    # the checkpoint must capture the values at save() time
+    expected = [np.asarray(l) for l in jax.tree_util.tree_leaves(
+        state.params)]
+    state = state._replace(
+        params=jax.tree.map(lambda x: x + 1.0, state.params))
+    assert saver.wait() == path
+
+    restored = restore_checkpoint(path, state)
+    assert int(restored.step) == 3
+    for a, b in zip(expected, jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+    # a second save joins the first and reuses the saver
+    state2 = state._replace(step=jnp.asarray(4, jnp.int32))
+    path2 = saver.save(str(tmp_path / "ckpt"), state2)
+    assert saver.wait() == path2
+    assert latest_checkpoint(str(tmp_path / "ckpt")) == path2
+
+    # writer failure: target dir path is an existing FILE
+    blocker = tmp_path / "blocked"
+    blocker.write_text("not a directory")
+    saver.save(str(blocker / "sub"), state2)
+    with pytest.raises(RuntimeError, match="async checkpoint save failed"):
+        saver.wait()
+    saver.wait()  # error is consumed; the saver stays usable
 
 
 def test_export_import_params(tmp_path):
