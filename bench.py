@@ -150,7 +150,7 @@ def _retry_on_dead_relay(exc: BaseException) -> None:
 
     if "axon" not in str(exc):
         raise exc
-    tries = int(os.environ.get("GPP_BENCH_EXEC_RETRIES", "5"))
+    tries = int(os.environ.get("GPP_BENCH_EXEC_RETRIES", "10"))
     if tries <= 0:
         raise exc
     os.environ["GPP_BENCH_EXEC_RETRIES"] = str(tries - 1)

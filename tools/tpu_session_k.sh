@@ -21,4 +21,7 @@ retry python -m ground_plane_polling_tpu.bin.evaluate \
   "$MODEL" "$DATA" --subset val --eval-batch 4 --int8 8 \
   --int8-percentile 99.9 || true
 
+echo "=== K3. async-checkpoint overlap (100 steps) ==="
+retry python tools/bench_async_ckpt.py 100 || true
+
 echo "=== session K done ==="
