@@ -104,6 +104,30 @@ def test_evaluate_cli(trained, tmp_path):
                            "length_error"}
 
 
+def test_evaluate_cli_int8(trained, tmp_path):
+    """--int8 N --int8-percentile Q through the real CLI: calibrates on
+    the first N val images, runs the conv trunk int8, returns sane
+    metrics (accuracy parity with float is measured on-chip —
+    docs/PERFORMANCE.md sessions I/J — not asserted on a tiny model).
+    Tiny eval resolution: XLA CPU has no vectorized int8-conv path, so
+    this runs ~10x slower per pixel than the float evals."""
+    kitti_root, out, _ = trained
+    from ground_plane_polling_tpu.bin.convert_model import main as convert
+    from ground_plane_polling_tpu.bin.evaluate import main as evaluate
+    from ground_plane_polling_tpu.training.checkpoint import latest_checkpoint
+
+    ckpt = latest_checkpoint(os.path.join(out, "snapshots"))
+    weights = str(tmp_path / "mq.npz")
+    convert([ckpt, weights, "--backbone", "tiny"])
+    mean_ap, errors = evaluate([
+        weights, kitti_root, "--subset", "val",
+        "--image-min-side", "32", "--image-max-side", "96",
+        "--int8", "2", "--int8-percentile", "99.9",
+    ])
+    assert 0.0 <= mean_ap <= 1.0
+    assert all(np.isfinite(v) for v in errors.values())
+
+
 @pytest.mark.slow
 def test_evaluate_cli_fuse_towers_identical(trained, tmp_path):
     """--fuse-towers must reproduce the eval metrics exactly."""
