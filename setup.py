@@ -19,6 +19,8 @@ setup(
             "ground_plane_polling_tpu.bin.run_network:main",
             "gpp-tpu-evaluate="
             "ground_plane_polling_tpu.bin.evaluate:main",
+            "gpp-tpu-evaluate-3d="
+            "ground_plane_polling_tpu.bin.evaluate_3d:main",
             "gpp-tpu-prepare-data="
             "ground_plane_polling_tpu.bin.prepare_data:main",
             "gpp-tpu-logs-to-tb="

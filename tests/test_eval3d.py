@@ -1,0 +1,311 @@
+"""KITTI devkit-semantics evaluator (utils/eval3d.py).
+
+Geometry is checked exactly (analytic cases) and against an independent
+Monte-Carlo point-sampling oracle; the AP protocol is checked through
+behavioural goldens that pin the devkit rules: difficulty gating,
+neighbour-class ignores (Van for Car), DontCare FP suppression, AOS.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from ground_plane_polling_tpu.utils import eval3d
+
+
+# --- helpers ---------------------------------------------------------------
+
+def _mc_intersection(ca, cb, n=200_000, seed=0):
+    """Monte-Carlo area of intersection of two convex quads."""
+    rng = np.random.default_rng(seed)
+    allc = np.concatenate([ca, cb])
+    lo, hi = allc.min(0), allc.max(0)
+    pts = rng.uniform(lo, hi, size=(n, 2))
+
+    def inside(c, p):
+        c = eval3d._ccw(c)
+        ok = np.ones(len(p), bool)
+        for i in range(4):
+            a, b = c[i], c[(i + 1) % 4]
+            cross = ((b[0] - a[0]) * (p[:, 1] - a[1])
+                     - (b[1] - a[1]) * (p[:, 0] - a[0]))
+            ok &= cross >= 0
+        return ok
+
+    frac = np.mean(inside(ca, pts) & inside(cb, pts))
+    return frac * np.prod(hi - lo)
+
+
+def _obj(type_="Car", bbox=(0, 0, 100, 100), dims=(1.5, 1.6, 4.0),
+         loc=(0, 1.65, 20.0), ry=0.0, alpha=0.0, score=None,
+         trunc=0.0, occ=0):
+    score_s = "" if score is None else f" {score:.4f}"
+    return (f"{type_} {trunc:.2f} {occ} {alpha:.4f} "
+            f"{bbox[0]:.2f} {bbox[1]:.2f} {bbox[2]:.2f} {bbox[3]:.2f} "
+            f"{dims[0]:.2f} {dims[1]:.2f} {dims[2]:.2f} "
+            f"{loc[0]:.2f} {loc[1]:.2f} {loc[2]:.2f} {ry:.4f}" + score_s)
+
+
+def _parse_lines(lines):
+    import io
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".txt",
+                                     delete=False) as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+        path = f.name
+    try:
+        return eval3d.parse_label_file(path)
+    finally:
+        os.unlink(path)
+
+
+# --- geometry ---------------------------------------------------------------
+
+def test_axis_aligned_intersection_exact():
+    a = eval3d.rotated_rect_corners(np.array([[0.0, 0.0]]),
+                                    np.array([0.0]),
+                                    np.array([[4.0, 2.0]]))[0]
+    b = eval3d.rotated_rect_corners(np.array([[2.0, 1.0]]),
+                                    np.array([0.0]),
+                                    np.array([[4.0, 2.0]]))[0]
+    # overlap region: x in [0,2] z in [0,1] -> area 2
+    assert np.isclose(eval3d.rect_intersection_area(a, b), 2.0)
+
+
+def test_unit_square_45deg_octagon():
+    a = eval3d.rotated_rect_corners(np.zeros((1, 2)), np.array([0.0]),
+                                    np.ones((1, 2)))[0]
+    b = eval3d.rotated_rect_corners(np.zeros((1, 2)),
+                                    np.array([np.pi / 4]),
+                                    np.ones((1, 2)))[0]
+    inter = eval3d.rect_intersection_area(a, b)
+    assert np.isclose(inter, 2 * (np.sqrt(2) - 1), atol=1e-9)
+
+
+def test_disjoint_and_contained():
+    a = eval3d.rotated_rect_corners(np.zeros((1, 2)), np.array([0.3]),
+                                    np.array([[4.0, 2.0]]))[0]
+    far = eval3d.rotated_rect_corners(np.array([[100.0, 0.0]]),
+                                      np.array([1.0]),
+                                      np.array([[4.0, 2.0]]))[0]
+    small = eval3d.rotated_rect_corners(np.zeros((1, 2)),
+                                        np.array([0.3 + np.pi / 7]),
+                                        np.array([[0.5, 0.5]]))[0]
+    assert eval3d.rect_intersection_area(a, far) == 0.0
+    # `small` fits entirely inside `a` -> intersection == its own area
+    assert np.isclose(eval3d.rect_intersection_area(a, small),
+                      eval3d.polygon_area(small), atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+def test_intersection_matches_monte_carlo(seed):
+    rng = np.random.default_rng(seed)
+    loc = rng.uniform(-2, 2, size=(2, 2))
+    ry = rng.uniform(-np.pi, np.pi, size=2)
+    lw = rng.uniform(0.5, 4.0, size=(2, 2))
+    corners = eval3d.rotated_rect_corners(loc, ry, lw)
+    exact = eval3d.rect_intersection_area(corners[0], corners[1])
+    mc = _mc_intersection(corners[0], corners[1], seed=seed)
+    assert np.isclose(exact, mc, rtol=0.03, atol=0.02)
+
+
+def test_rigid_motion_invariance():
+    rng = np.random.default_rng(7)
+    loc = rng.uniform(-2, 2, size=(2, 2))
+    ry = rng.uniform(-np.pi, np.pi, size=2)
+    lw = rng.uniform(0.5, 4.0, size=(2, 2))
+    base = eval3d.rotated_rect_corners(loc, ry, lw)
+    a0 = eval3d.rect_intersection_area(base[0], base[1])
+    # rotate both boxes by the same angle about the origin + translate
+    moved = eval3d.rotated_rect_corners(loc + 5.0, ry + 0.9, lw)
+    a1 = eval3d.rect_intersection_area(moved[0], moved[1])
+    # same relative pose? only if rotation is about a shared frame: rotating
+    # ry and the location separately is NOT rigid; instead verify through
+    # the BEV matrix with jointly transformed dicts below.
+    R = np.array([[np.cos(0.9), np.sin(0.9)], [-np.sin(0.9), np.cos(0.9)]])
+    loc_r = loc @ R.T + np.array([3.0, -2.0])
+    rigid = eval3d.rotated_rect_corners(loc_r, ry + 0.9, lw)
+    a2 = eval3d.rect_intersection_area(rigid[0], rigid[1])
+    assert np.isclose(a0, a2, atol=1e-9)
+    del a1
+
+
+def test_3d_overlap_height_term():
+    def d(loc_y, h):
+        return {"ry": np.zeros(1), "loc": np.array([[0.0, loc_y, 10.0]]),
+                "dims": np.array([[h, 2.0, 4.0]])}
+    # identical boxes -> IoU 1
+    m = eval3d.overlap_3d_matrix(d(1.6, 1.6), d(1.6, 1.6))
+    assert np.isclose(m[0, 0], 1.0)
+    # same footprint, half vertical overlap: spans [0,1.6] vs [0.8, 2.4]
+    m = eval3d.overlap_3d_matrix(d(1.6, 1.6), d(2.4, 1.6))
+    assert np.isclose(m[0, 0], 0.8 / (1.6 + 1.6 - 0.8))
+    # stacked, touching -> 0
+    m = eval3d.overlap_3d_matrix(d(1.6, 1.6), d(3.2, 1.6))
+    assert m[0, 0] == 0.0
+
+
+def test_bbox_overlap_criteria():
+    a = np.array([[0.0, 0.0, 10.0, 10.0]])
+    b = np.array([[5.0, 0.0, 15.0, 10.0]])
+    iou = eval3d.bbox_overlap_matrix(a, b)[0, 0]
+    assert np.isclose(iou, 50.0 / 150.0)
+    # criterion 0: intersection / area_a
+    assert np.isclose(eval3d.bbox_overlap_matrix(a, b, 0)[0, 0], 0.5)
+
+
+# --- protocol ---------------------------------------------------------------
+
+def _perfect_scene(n_gt=60, seed=0):
+    """One big image worth of GTs + perfectly matching detections."""
+    rng = np.random.default_rng(seed)
+    lines_gt, lines_det = [], []
+    for i in range(n_gt):
+        x1 = 10 + 30 * i
+        bbox = (x1, 100, x1 + 25, 160)          # height 60 -> easy-valid
+        loc = (float(rng.uniform(-20, 20)), 1.65,
+               float(rng.uniform(8, 60)))
+        ry = float(rng.uniform(-np.pi, np.pi))
+        alpha = float(rng.uniform(-np.pi, np.pi))
+        dims = (1.5, 1.7, 4.2)
+        lines_gt.append(_obj(bbox=bbox, dims=dims, loc=loc, ry=ry,
+                             alpha=alpha))
+        lines_det.append(_obj(bbox=bbox, dims=dims, loc=loc, ry=ry,
+                              alpha=alpha, score=0.99 - 0.005 * i))
+    return lines_gt, lines_det
+
+
+def test_perfect_detections_ap_near_100():
+    g, d = _perfect_scene()
+    res = eval3d.evaluate_kitti_3d([_parse_lines(g)], [_parse_lines(d)],
+                                   metrics=("bbox", "bev", "3d"),
+                                   ap_mode="40")
+    for metric in ("bbox", "bev", "3d", "aos"):
+        for diff in eval3d.DIFFICULTY_NAMES:
+            assert res["Car"][metric][diff] > 95.0, (metric, diff, res)
+    res11 = eval3d.evaluate_kitti_3d([_parse_lines(g)], [_parse_lines(d)],
+                                     metrics=("bbox",), ap_mode="11")
+    assert res11["Car"]["bbox"]["moderate"] > 90.0
+
+
+def test_false_positives_reduce_ap():
+    g, d = _perfect_scene(n_gt=50)
+    # add 25 confident FPs far from everything
+    for i in range(25):
+        d.append(_obj(bbox=(3000 + 40 * i, 100, 3025 + 40 * i, 160),
+                      loc=(500 + i, 1.65, 200.0), score=0.999))
+    res = eval3d.evaluate_kitti_3d([_parse_lines(g)], [_parse_lines(d)],
+                                   metrics=("bbox",), ap_mode="40")
+    clean = eval3d.evaluate_kitti_3d([_parse_lines(g)],
+                                     [_parse_lines(_perfect_scene(50)[1])],
+                                     metrics=("bbox",), ap_mode="40")
+    assert (res["Car"]["bbox"]["moderate"]
+            < clean["Car"]["bbox"]["moderate"] - 5.0)
+
+
+def test_aos_flipped_alpha():
+    g, d = _perfect_scene(n_gt=50)
+    flipped = []
+    for line in d:
+        parts = line.split()
+        parts[3] = f"{float(parts[3]) + np.pi:.4f}"
+        flipped.append(" ".join(parts))
+    res = eval3d.evaluate_kitti_3d([_parse_lines(g)],
+                                   [_parse_lines(flipped)],
+                                   metrics=("bbox",), ap_mode="40")
+    # 2D AP unaffected, orientation similarity ~0
+    assert res["Car"]["bbox"]["moderate"] > 95.0
+    assert res["Car"]["aos"]["moderate"] < 2.0
+
+
+def test_difficulty_gating_small_boxes():
+    # GT box height 30 px: ignored for easy (<=40), valid for mod/hard
+    g = [_obj(bbox=(100, 100, 140, 130))]
+    d = [_obj(bbox=(100, 100, 140, 130), score=0.9)]
+    gt, det = _parse_lines(g), _parse_lines(d)
+    ig_easy, _, _, n_easy = eval3d._clean_data("Car", gt, det, 0)
+    ig_mod, _, _, n_mod = eval3d._clean_data("Car", gt, det, 1)
+    assert n_easy == 0 and ig_easy[0] == 1     # ignored, not removed
+    assert n_mod == 1 and ig_mod[0] == 0
+    # the matching det must NOT become an easy FP. (ap_mode="11": with a
+    # single GT only recall sample 0 fills, and R40 skips sample 0 by
+    # definition — the devkit's small-N behaviour, reproduced faithfully.)
+    res = eval3d.evaluate_kitti_3d([gt], [det], metrics=("bbox",),
+                                   ap_mode="11")
+    assert np.isnan(res["Car"]["bbox"]["easy"])   # no valid easy GT
+    assert res["Car"]["bbox"]["moderate"] > 0.0
+
+
+def test_occlusion_truncation_gating():
+    g = [_obj(occ=2, bbox=(0, 0, 50, 60)),       # hard-only by occlusion
+         _obj(trunc=0.4, bbox=(100, 0, 150, 60))]  # hard-only by truncation
+    gt = _parse_lines(g)
+    det = _parse_lines([])
+    for diff, expected in [(0, 0), (1, 0), (2, 2)]:
+        _, _, _, n = eval3d._clean_data("Car", gt, det, diff)
+        assert n == expected
+
+
+def test_van_is_ignored_for_car():
+    # One Car GT detected + one detection on a Van: the Van det must be
+    # absorbed (no FP), giving the same AP as without it.
+    g = [_obj(bbox=(0, 0, 50, 60)),
+         _obj(type_="Van", bbox=(200, 0, 250, 60))]
+    d_clean = [_obj(bbox=(0, 0, 50, 60), score=0.9)]
+    d_van = d_clean + [_obj(bbox=(200, 0, 250, 60), score=0.95)]
+    r_clean = eval3d.evaluate_kitti_3d([_parse_lines(g)],
+                                       [_parse_lines(d_clean)],
+                                       metrics=("bbox",))
+    r_van = eval3d.evaluate_kitti_3d([_parse_lines(g)],
+                                     [_parse_lines(d_van)],
+                                     metrics=("bbox",))
+    assert (r_clean["Car"]["bbox"]["moderate"]
+            == r_van["Car"]["bbox"]["moderate"])
+
+
+def test_dontcare_suppresses_fp():
+    g = [_obj(bbox=(0, 0, 50, 60)),
+         _obj(type_="DontCare", bbox=(200, 0, 260, 60), dims=(-1, -1, -1),
+              loc=(-1000, -1000, -1000), ry=-10, alpha=-10)]
+    d = [_obj(bbox=(0, 0, 50, 60), score=0.9),
+         _obj(bbox=(205, 5, 255, 58), score=0.95)]   # inside DontCare
+    d_fp = [_obj(bbox=(0, 0, 50, 60), score=0.9),
+            _obj(bbox=(500, 5, 550, 58), score=0.95)]  # plain FP
+    # ap_mode="11" — single-GT scene, see test_difficulty_gating note
+    r_dc = eval3d.evaluate_kitti_3d([_parse_lines(g)], [_parse_lines(d)],
+                                    metrics=("bbox",), ap_mode="11")
+    r_fp = eval3d.evaluate_kitti_3d([_parse_lines(g)],
+                                    [_parse_lines(d_fp)],
+                                    metrics=("bbox",), ap_mode="11")
+    assert (r_dc["Car"]["bbox"]["moderate"]
+            > r_fp["Car"]["bbox"]["moderate"])
+
+
+def test_get_thresholds_properties():
+    scores = np.linspace(0.99, 0.01, 200)
+    t = eval3d._get_thresholds(scores, 200)
+    assert len(t) <= eval3d.N_SAMPLE_PTS
+    assert np.all(np.diff(t) <= 0)
+    assert t[0] == scores.max()
+
+
+def test_cli_end_to_end(tmp_path):
+    gt_dir, det_dir = tmp_path / "gt", tmp_path / "det"
+    gt_dir.mkdir()
+    det_dir.mkdir()
+    g, d = _perfect_scene(n_gt=45)
+    # split across 3 "images"; leave one det file missing
+    for i in range(3):
+        (gt_dir / f"{i:06d}.txt").write_text(
+            "\n".join(g[i * 15:(i + 1) * 15]) + "\n")
+        if i < 2:
+            (det_dir / f"{i:06d}.txt").write_text(
+                "\n".join(d[i * 15:(i + 1) * 15]) + "\n")
+    from ground_plane_polling_tpu.bin.evaluate_3d import main
+    res = main([str(gt_dir), str(det_dir), "--metrics", "bbox", "3d",
+                "--json", str(tmp_path / "out.json")])
+    assert set(res["Car"]) == {"bbox", "3d", "aos"}
+    # 1/3 of GT undetected -> recall caps at ~2/3
+    assert 30.0 < res["Car"]["bbox"]["moderate"] < 80.0
+    assert (tmp_path / "out.json").exists()
