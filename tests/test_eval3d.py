@@ -309,3 +309,41 @@ def test_cli_end_to_end(tmp_path):
     # 1/3 of GT undetected -> recall caps at ~2/3
     assert 30.0 < res["Car"]["bbox"]["moderate"] < 80.0
     assert (tmp_path / "out.json").exists()
+
+
+def test_kitti_writer_output_feeds_evaluator(tmp_path):
+    """write_kitti_file (the run-network output path) -> evaluate-3d:
+    a detection written from a known pose must score AP 100 against a GT
+    row built from the same pose."""
+    from ground_plane_polling_tpu.utils.kitti_writer import write_kitti_file
+
+    boxes = np.array([[100.0, 100.0, 220.0, 180.0]] * 45)
+    boxes[:, [0, 2]] += 125 * np.arange(45)[:, None]
+    scores = np.linspace(0.99, 0.55, 45)
+    rng = np.random.default_rng(3)
+    locations = np.stack([rng.uniform(-15, 15, 45),
+                          np.full(45, 1.62),
+                          rng.uniform(8, 50, 45)], axis=1)
+    angles = np.stack([np.zeros(45), rng.uniform(-np.pi, np.pi, 45),
+                       np.zeros(45)], axis=1)
+    dimensions = np.tile([1.5, 1.7, 4.2], (45, 1))
+    det_dir, gt_dir = tmp_path / "det", tmp_path / "gt"
+    det_dir.mkdir()
+    gt_dir.mkdir()
+    write_kitti_file(det_dir / "000000.txt", boxes, scores, locations,
+                     angles, dimensions, image_hw=(4000, 8000))
+    det = eval3d.parse_label_file(str(det_dir / "000000.txt"))
+    assert det["score"][0] == pytest.approx(0.99)
+    # GT = the parsed det rows without scores (same 15 leading fields),
+    # with trunc/occ zeroed (the writer emits -1 placeholders)
+    lines = []
+    for ln in (det_dir / "000000.txt").read_text().splitlines():
+        p = ln.split()
+        p[1], p[2] = "0.00", "0"
+        lines.append(" ".join(p[:15]))
+    (gt_dir / "000000.txt").write_text("\n".join(lines) + "\n")
+    gt = eval3d.parse_label_file(str(gt_dir / "000000.txt"))
+    res = eval3d.evaluate_kitti_3d([gt], [det],
+                                   metrics=("bbox", "bev", "3d"))
+    for metric in ("bbox", "bev", "3d", "aos"):
+        assert res["Car"][metric]["moderate"] == pytest.approx(100.0), metric
