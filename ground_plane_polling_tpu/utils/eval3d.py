@@ -142,13 +142,25 @@ def rotated_rect_corners(loc_xz: np.ndarray, ry: np.ndarray,
     return np.stack([gx, gz], axis=-1)
 
 
+def _native():
+    """The C++ core (utils/eval3d_native.py) or None. Lazy so importing
+    this module never triggers a g++ build; GPP_EVAL3D_NATIVE=0 forces
+    the pure-numpy path (used by the parity tests)."""
+    from . import eval3d_native
+
+    return eval3d_native if eval3d_native.available() else None
+
+
 def polygon_area(poly: np.ndarray) -> float:
     """Shoelace |area| of an (M,2) polygon."""
-    if len(poly) < 3:
+    n = len(poly)
+    if n < 3:
         return 0.0
-    x, z = poly[:, 0], poly[:, 1]
-    return 0.5 * abs(float(np.dot(x, np.roll(z, -1))
-                           - np.dot(z, np.roll(x, -1))))
+    s = 0.0
+    for i in range(n):
+        p, q = poly[i], poly[(i + 1) % n]
+        s += p[0] * q[1] - q[0] * p[1]
+    return 0.5 * abs(s)
 
 
 def _clip_halfplane(poly: List[np.ndarray], a: np.ndarray,
@@ -179,8 +191,11 @@ def _clip_halfplane(poly: List[np.ndarray], a: np.ndarray,
 
 
 def _ccw(corners: np.ndarray) -> np.ndarray:
-    x, z = corners[:, 0], corners[:, 1]
-    signed = 0.5 * (np.dot(x, np.roll(z, -1)) - np.dot(z, np.roll(x, -1)))
+    n = len(corners)
+    signed = 0.0
+    for i in range(n):
+        p, q = corners[i], corners[(i + 1) % n]
+        signed += p[0] * q[1] - q[0] * p[1]
     return corners if signed >= 0 else corners[::-1]
 
 
@@ -202,6 +217,9 @@ def bev_overlap_matrix(det: Dict[str, np.ndarray],
     out = np.zeros((nd, ng))
     if nd == 0 or ng == 0:
         return out
+    native = _native()
+    if native is not None:
+        return native.bev_overlap(det, gt)
     cd = rotated_rect_corners(det["loc"][:, [0, 2]], det["ry"],
                               det["dims"][:, [2, 1]])   # dims h,w,l -> l,w
     cg = rotated_rect_corners(gt["loc"][:, [0, 2]], gt["ry"],
@@ -228,6 +246,9 @@ def overlap_3d_matrix(det: Dict[str, np.ndarray],
     out = np.zeros((nd, ng))
     if nd == 0 or ng == 0:
         return out
+    native = _native()
+    if native is not None:
+        return native.overlap_3d(det, gt)
     cd = rotated_rect_corners(det["loc"][:, [0, 2]], det["ry"],
                               det["dims"][:, [2, 1]])
     cg = rotated_rect_corners(gt["loc"][:, [0, 2]], gt["ry"],
@@ -427,21 +448,42 @@ def _eval_class(gt_list, det_list, current_class: str, difficulty: int,
             compute_fp=False, compute_aos=False, thresh=0.0)
         all_scores.extend(scores)
     thresholds = _get_thresholds(np.asarray(all_scores), n_gt_total)
-    for ti, t in enumerate(thresholds):
-        tp = fp = fn = 0
-        sim = 0.0
+    native = _native()
+    if native is not None and len(thresholds):
+        # one native call per image accumulates every threshold at once
+        T = len(thresholds)
+        tp_a = np.zeros(T, np.int64)
+        fp_a = np.zeros(T, np.int64)
+        fn_a = np.zeros(T, np.int64)
+        sim_a = np.zeros(T, np.float64)
         for (gt, det, ov, (ig, dc, idet, _)) in zip(
                 gt_list, det_list, overlaps, cleaned):
-            r = _compute_statistics(ov, det, gt, ig, dc, idet, min_overlap,
-                                    compute_fp=True,
-                                    compute_aos=compute_aos, thresh=t)
-            tp += r[0]
-            fp += r[1]
-            fn += r[2]
-            sim += r[3]
-        if tp + fp > 0:
-            precision[ti] = tp / (tp + fp)
-            aos[ti] = sim / (tp + fp)
+            dc_ov = (bbox_overlap_matrix(det["bbox"], dc, criterion=0)
+                     if len(dc) else np.zeros((len(det["ry"]), 0)))
+            native.compute_stats(ov, det["score"], idet, ig, dc_ov,
+                                 det["alpha"], gt["alpha"], compute_aos,
+                                 min_overlap, thresholds,
+                                 tp_a, fp_a, fn_a, sim_a)
+        denom = tp_a + fp_a
+        nz = denom > 0
+        precision[:T][nz] = tp_a[nz] / denom[nz]
+        aos[:T][nz] = sim_a[nz] / denom[nz]
+    else:
+        for ti, t in enumerate(thresholds):
+            tp = fp = fn = 0
+            sim = 0.0
+            for (gt, det, ov, (ig, dc, idet, _)) in zip(
+                    gt_list, det_list, overlaps, cleaned):
+                r = _compute_statistics(ov, det, gt, ig, dc, idet,
+                                        min_overlap, compute_fp=True,
+                                        compute_aos=compute_aos, thresh=t)
+                tp += r[0]
+                fp += r[1]
+                fn += r[2]
+                sim += r[3]
+            if tp + fp > 0:
+                precision[ti] = tp / (tp + fp)
+                aos[ti] = sim / (tp + fp)
     # right-max envelope (devkit post-pass)
     for i in range(N_SAMPLE_PTS - 2, -1, -1):
         precision[i] = max(precision[i], precision[i + 1])
