@@ -85,6 +85,26 @@ def test_convert_and_run_network(trained, tmp_path):
                 "dimensions", "residuals"]:
         assert key in mat
 
+    # close the devkit loop: the KITTI txt output must evaluate under the
+    # official-metric CLI (gpp-tpu-evaluate-3d) against the raw GT labels
+    # — format + protocol compatibility with REAL network output (the
+    # reference's users run the external C++ devkit on these same files)
+    from ground_plane_polling_tpu.bin.evaluate_3d import main as eval3d_cli
+
+    det_dir = os.path.join(root, "outputs", "kitti")
+    gt_dir = str(tmp_path / "gt3d")
+    os.makedirs(gt_dir)
+    import shutil
+
+    for f in kitti_out:
+        src = os.path.join(kitti_root, "_raw_labels", f)
+        assert os.path.exists(src), f"no raw GT for output {f}"
+        shutil.copy(src, os.path.join(gt_dir, f))
+    res = eval3d_cli([gt_dir, det_dir, "--ap-mode", "11"])
+    for metric in ("bbox", "bev", "3d", "aos"):
+        for diff, v in res["Car"][metric].items():
+            assert np.isnan(v) or 0.0 <= v <= 100.0, (metric, diff, v)
+
 
 def test_evaluate_cli(trained, tmp_path):
     kitti_root, out, _ = trained
