@@ -60,8 +60,17 @@ def main(argv=None):
         ap_mode=args.ap_mode, compute_aos=not args.no_aos)
     print(eval3d.format_results(results))
     if args.json:
+        # empty buckets are float('nan'); bare NaN tokens are not valid
+        # JSON (jq / JSON.parse reject them) -> serialize as null
+        def _nan_to_null(x):
+            if isinstance(x, dict):
+                return {k: _nan_to_null(v) for k, v in x.items()}
+            if isinstance(x, float) and x != x:
+                return None
+            return x
+
         with open(args.json, "w") as f:
-            json.dump(results, f, indent=2)
+            json.dump(_nan_to_null(results), f, indent=2, allow_nan=False)
         print(f"wrote {args.json}")
     return results
 

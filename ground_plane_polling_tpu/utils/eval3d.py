@@ -295,14 +295,18 @@ def _clean_data(current_class: str, gt: Dict[str, np.ndarray],
     Returns (ignored_gt (G,), dc_boxes (D,4), ignored_det (N,), n_valid_gt).
     Flag values: 0 = counted, 1 = ignored (no TP/FP effect), -1 = removed.
     """
-    neighbors = NEIGHBOR_CLASSES.get(current_class, ())
+    # class comparisons are case-insensitive like the devkit's strcasecmp
+    cls_l = current_class.lower()
+    neighbors = tuple(n.lower()
+                      for n in NEIGHBOR_CLASSES.get(current_class, ()))
     ignored_gt = np.full(len(gt["type"]), -1, np.int64)
     n_valid = 0
     dc = []
     for i, t in enumerate(gt["type"]):
-        if t == "DontCare":
+        t = t.lower()
+        if t == "dontcare":
             dc.append(gt["bbox"][i])
-        if t == current_class:
+        if t == cls_l:
             valid_class = 1
         elif t in neighbors:
             valid_class = 0
@@ -322,7 +326,7 @@ def _clean_data(current_class: str, gt: Dict[str, np.ndarray],
         height = det["bbox"][j, 3] - det["bbox"][j, 1]
         if height < MIN_HEIGHT[difficulty]:
             ignored_det[j] = 1
-        elif t == current_class:
+        elif t.lower() == cls_l:
             ignored_det[j] = 0
     dc_boxes = (np.stack(dc) if dc
                 else np.zeros((0, 4)))
@@ -458,6 +462,19 @@ def _eval_class(gt_list, det_list, current_class: str, difficulty: int,
         sim_a = np.zeros(T, np.float64)
         for (gt, det, ov, (ig, dc, idet, _)) in zip(
                 gt_list, det_list, overlaps, cleaned):
+            if ov.shape[0] > 4096:
+                # exceeds the native per-image buffer: score this image
+                # through the numpy path (identical semantics)
+                for ti, t in enumerate(thresholds):
+                    r = _compute_statistics(
+                        ov, det, gt, ig, dc, idet, min_overlap,
+                        compute_fp=True, compute_aos=compute_aos,
+                        thresh=t)
+                    tp_a[ti] += r[0]
+                    fp_a[ti] += r[1]
+                    fn_a[ti] += r[2]
+                    sim_a[ti] += r[3]
+                continue
             dc_ov = (bbox_overlap_matrix(det["bbox"], dc, criterion=0)
                      if len(dc) else np.zeros((len(det["ry"]), 0)))
             native.compute_stats(ov, det["score"], idet, ig, dc_ov,
@@ -513,23 +530,24 @@ def evaluate_kitti_3d(gt_list: List[Dict[str, np.ndarray]],
     if len(gt_list) != len(det_list):
         raise ValueError("gt and det lists must align per image")
     results: Dict = {}
+    # overlap matrices are class/difficulty independent: compute once for
+    # ALL classes (the rotated clipping dominates multi-class runs)
+    ov_cache = {}
+    for metric in metrics:
+        if metric == "bbox":
+            ovs = [bbox_overlap_matrix(d["bbox"], g["bbox"])
+                   for d, g in zip(det_list, gt_list)]
+        elif metric == "bev":
+            ovs = [bev_overlap_matrix(d, g)
+                   for d, g in zip(det_list, gt_list)]
+        elif metric == "3d":
+            ovs = [overlap_3d_matrix(d, g)
+                   for d, g in zip(det_list, gt_list)]
+        else:
+            raise ValueError(f"unknown metric {metric!r}")
+        ov_cache[metric] = ovs
     for cls in classes:
         results[cls] = {}
-        # overlap matrices are class/difficulty independent: compute once
-        ov_cache = {}
-        for metric in metrics:
-            if metric == "bbox":
-                ovs = [bbox_overlap_matrix(d["bbox"], g["bbox"])
-                       for d, g in zip(det_list, gt_list)]
-            elif metric == "bev":
-                ovs = [bev_overlap_matrix(d, g)
-                       for d, g in zip(det_list, gt_list)]
-            elif metric == "3d":
-                ovs = [overlap_3d_matrix(d, g)
-                       for d, g in zip(det_list, gt_list)]
-            else:
-                raise ValueError(f"unknown metric {metric!r}")
-            ov_cache[metric] = ovs
         for metric in metrics:
             results[cls][metric] = {}
             want_aos = compute_aos and metric == "bbox"

@@ -51,8 +51,14 @@ def _load():
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib
-        if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        try:
+            stale = (not os.path.exists(_SO)
+                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+        except OSError:
+            # source missing (e.g. an installed tree shipping only the
+            # .so): use the existing library as-is if there is one
+            stale = not os.path.exists(_SO)
+        if stale:
             _build_error = _build()
             if _build_error:
                 return None

@@ -117,18 +117,13 @@ def test_rigid_motion_invariance():
     lw = rng.uniform(0.5, 4.0, size=(2, 2))
     base = eval3d.rotated_rect_corners(loc, ry, lw)
     a0 = eval3d.rect_intersection_area(base[0], base[1])
-    # rotate both boxes by the same angle about the origin + translate
-    moved = eval3d.rotated_rect_corners(loc + 5.0, ry + 0.9, lw)
-    a1 = eval3d.rect_intersection_area(moved[0], moved[1])
-    # same relative pose? only if rotation is about a shared frame: rotating
-    # ry and the location separately is NOT rigid; instead verify through
-    # the BEV matrix with jointly transformed dicts below.
+    # a shared rigid motion (rotate locations AND headings by the same
+    # angle, then translate) must leave the intersection area unchanged
     R = np.array([[np.cos(0.9), np.sin(0.9)], [-np.sin(0.9), np.cos(0.9)]])
     loc_r = loc @ R.T + np.array([3.0, -2.0])
     rigid = eval3d.rotated_rect_corners(loc_r, ry + 0.9, lw)
     a2 = eval3d.rect_intersection_area(rigid[0], rigid[1])
     assert np.isclose(a0, a2, atol=1e-9)
-    del a1
 
 
 def test_3d_overlap_height_term():
@@ -347,3 +342,39 @@ def test_kitti_writer_output_feeds_evaluator(tmp_path):
                                    metrics=("bbox", "bev", "3d"))
     for metric in ("bbox", "bev", "3d", "aos"):
         assert res["Car"][metric]["moderate"] == pytest.approx(100.0), metric
+
+
+def test_case_insensitive_classes():
+    # the devkit compares types with strcasecmp: 'car'/'CAR' rows must
+    # score identically to 'Car'
+    g, d = _perfect_scene(n_gt=50)
+    g_lower = [ln.replace("Car ", "car ", 1) for ln in g]
+    d_upper = [ln.replace("Car ", "CAR ", 1) for ln in d]
+    ref = eval3d.evaluate_kitti_3d([_parse_lines(g)], [_parse_lines(d)],
+                                   metrics=("bbox",))
+    mixed = eval3d.evaluate_kitti_3d([_parse_lines(g_lower)],
+                                     [_parse_lines(d_upper)],
+                                     metrics=("bbox",))
+    assert (ref["Car"]["bbox"]["moderate"]
+            == mixed["Car"]["bbox"]["moderate"] > 95.0)
+
+
+def test_cli_json_is_valid_with_empty_buckets(tmp_path):
+    # an empty difficulty bucket is NaN in-process but must serialize as
+    # null (bare NaN is not valid JSON)
+    gt_dir, det_dir = tmp_path / "gt", tmp_path / "det"
+    gt_dir.mkdir()
+    det_dir.mkdir()
+    # height-30 GT: no valid easy bucket
+    (gt_dir / "000000.txt").write_text(_obj(bbox=(100, 100, 140, 130))
+                                       + "\n")
+    (det_dir / "000000.txt").write_text(
+        _obj(bbox=(100, 100, 140, 130), score=0.9) + "\n")
+    from ground_plane_polling_tpu.bin.evaluate_3d import main
+    out = tmp_path / "r.json"
+    main([str(gt_dir), str(det_dir), "--metrics", "bbox",
+          "--json", str(out)])
+    import json
+    parsed = json.loads(out.read_text())   # raises on bare NaN
+    assert parsed["Car"]["bbox"]["easy"] is None
+    assert "NaN" not in out.read_text()

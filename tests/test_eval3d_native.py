@@ -95,3 +95,22 @@ def test_empty_images(monkeypatch):
     r_np = eval3d.evaluate_kitti_3d(gts, dets, metrics=("bbox",))
     assert (r_nat["Car"]["bbox"]["moderate"]
             == pytest.approx(r_np["Car"]["bbox"]["moderate"]))
+
+
+def test_oversized_image_falls_back(monkeypatch):
+    # >4096 detections exceeds the native per-image buffer; _eval_class
+    # must route that image through the numpy path with identical results
+    rng = np.random.default_rng(11)
+    gt = _scene(rng, 6)
+    det = _scene(rng, 4100)
+    # make a couple of real matches so the curve is non-trivial
+    for k in ("bbox", "dims", "loc", "ry", "alpha"):
+        det[k][:2] = gt[k][:2]
+    det["score"][:2] = 0.95
+    r_nat = eval3d.evaluate_kitti_3d([gt], [det], metrics=("bbox",),
+                                     ap_mode="11")
+    _numpy_only(monkeypatch)
+    r_np = eval3d.evaluate_kitti_3d([gt], [det], metrics=("bbox",),
+                                    ap_mode="11")
+    assert (r_nat["Car"]["bbox"]["moderate"]
+            == pytest.approx(r_np["Car"]["bbox"]["moderate"], abs=1e-9))
