@@ -58,6 +58,10 @@ def decode_predictions(raw, anchors, num_classes: int):
     (reference layers/_misc.py:133-141).
     """
     cls = raw["classification"]
+    if cls.shape[-1] != 8 * num_classes:
+        raise ValueError(
+            f"classification width {cls.shape[-1]} != 8*num_classes "
+            f"({8 * num_classes}) — wrong num_classes for this model")
     half = cls.shape[-1] // 2
     sign = jnp.where(jnp.argmax(cls, axis=-1) < half, -1.0, 1.0)
     boxes = box_coder.decode_boxes(anchors[None], raw["regression"], sign)
@@ -235,8 +239,21 @@ class GPPDetector:
         self.device_preprocess = device_preprocess
         self.filter_kwargs = filter_kwargs
         self.variables = None
-        self.quant_scales = None
         self._fns = {}
+        self._quant_scales = None
+
+    @property
+    def quant_scales(self):
+        """Per-conv-site int8 activation scales (None = float path)."""
+        return self._quant_scales
+
+    @quant_scales.setter
+    def quant_scales(self, value):
+        # assigning scales (or None) invalidates every compiled detect fn:
+        # the quantization config is baked into the traced program, so a
+        # stale cache would silently serve the previous config
+        self._quant_scales = value
+        self._fns.clear()
 
     def quantize(self, calib_images, percentile: float = 100.0):
         """Calibrate and enable the int8 conv trunk (models/quantize.py).
@@ -255,7 +272,6 @@ class GPPDetector:
         self.quant_scales = collect_scales(
             fn, [(self.variables, jnp.asarray(im, jnp.float32))
                  for im in calib_images], percentile=percentile)
-        self._fns.clear()
         return self.quant_scales
 
     def init(self, rng, image_shape):
@@ -310,6 +326,21 @@ class GPPDetector:
         """
         from .data.kitti import preprocess_image, resize_scale
         from .data.pipeline import _resize_image
+
+        # this threshold only post-filters rows the COMPILED filter kept;
+        # candidates below the jitted filter's own score_threshold were
+        # already dropped inside the program
+        compiled_thr = self.filter_kwargs.get("score_threshold", 0.05)
+        if score_threshold < compiled_thr:
+            import warnings
+
+            warnings.warn(
+                f"detect_image score_threshold={score_threshold} is below "
+                f"the compiled filter's threshold ({compiled_thr}); "
+                "candidates in between were already dropped on device — "
+                "build the detector with "
+                f"score_threshold={score_threshold} to get them",
+                stacklevel=2)
 
         image_bgr = np.asarray(image_bgr, np.float32)
         scale = resize_scale(image_bgr.shape[:2], min_side, max_side)

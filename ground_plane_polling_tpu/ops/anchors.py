@@ -23,6 +23,7 @@ __all__ = [
     "feature_shapes",
     "shift_anchors",
     "anchors_for_shape",
+    "num_anchors_for_shape",
 ]
 
 

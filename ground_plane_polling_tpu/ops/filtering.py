@@ -36,7 +36,8 @@ import jax.numpy as jnp
 
 from .overlap import iou_matrix, iou_one_to_many
 
-__all__ = ["Detections", "filter_detections", "filter_detections_batch"]
+__all__ = ["Detections", "filter_detections", "filter_detections_batch",
+           "filter_detections_fused", "filter_detections_fused_batch"]
 
 _NEG_INF = -jnp.inf
 
@@ -240,9 +241,19 @@ def filter_detections(
 
     idx, valid, score, label, orient = run_sets(sets)
 
-    # global top-k over pooled candidates
+    # global top-k over pooled candidates. The pool can be SHORTER than
+    # max_detections (nms=False contributes min(pre_nms_top_k,
+    # max_detections) rows per set): take what exists and pad with -inf
+    # rows, which the `keep` mask below turns into -1 output rows (the
+    # reference pads the same way, filter_detections.py:105-118).
     pooled = jnp.where(valid, score, _NEG_INF)
-    top_score, top = jax.lax.top_k(pooled, max_detections)
+    k = min(max_detections, pooled.shape[0])
+    top_score, top = jax.lax.top_k(pooled, k)
+    if k < max_detections:
+        pad = max_detections - k
+        top_score = jnp.concatenate(
+            [top_score, jnp.full((pad,), _NEG_INF, top_score.dtype)])
+        top = jnp.concatenate([top, jnp.zeros((pad,), top.dtype)])
     keep = top_score > _NEG_INF
 
     sel_anchor = idx[top]
@@ -361,8 +372,15 @@ def filter_detections_fused(
     label = jnp.concatenate([p[4] for p in parts])
     orient = jnp.concatenate([p[5] for p in parts])
 
+    # short pools padded with -inf exactly like filter_detections above
     pooled = jnp.where(valid, score, _NEG_INF)
-    top_score, top = jax.lax.top_k(pooled, max_detections)
+    k = min(max_detections, pooled.shape[0])
+    top_score, top = jax.lax.top_k(pooled, k)
+    if k < max_detections:
+        pad = max_detections - k
+        top_score = jnp.concatenate(
+            [top_score, jnp.full((pad,), _NEG_INF, top_score.dtype)])
+        top = jnp.concatenate([top, jnp.zeros((pad,), top.dtype)])
     keep = top_score > _NEG_INF
 
     sel_anchor = idx[top]

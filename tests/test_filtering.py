@@ -143,3 +143,24 @@ def test_batch_vmap(rng):
                                np.asarray(out_s.scores), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out_b.scores[1]),
                                np.asarray(out_s.scores), rtol=1e-6)
+
+
+def test_no_nms_short_pool_pads(rng):
+    """nms=False with pre_nms_top_k < max_detections used to crash at the
+    final top_k (the pool is only pre_nms_top_k rows per set); it must pad
+    with -1 rows instead (the reference pads, filter_detections.py:105)."""
+    boxes, dims, cls = _make_inputs(rng, n=300)
+    out = filter_detections(boxes, dims, cls, num_classes=1, nms=False,
+                            pre_nms_top_k=64, max_detections=100)
+    scores = np.asarray(out.scores)
+    assert scores.shape == (100,)
+    nvalid = int((scores > -1).sum())
+    assert 0 < nvalid <= 64
+    # padding rows are fully masked
+    assert np.all(np.asarray(out.boxes)[nvalid:] == -1.0)
+    assert np.all(np.asarray(out.labels)[nvalid:] == -1)
+    # the kept rows equal the plain score-sorted top of the pool
+    col = cls.reshape(-1, 2, 1, 4).max(axis=1)[:, 0]
+    pooled = np.sort(col.max(axis=1))[::-1]
+    pooled = pooled[pooled > 0.05][:64]
+    np.testing.assert_allclose(scores[:nvalid], pooled[:nvalid], rtol=1e-5)

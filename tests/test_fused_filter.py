@@ -64,3 +64,14 @@ def test_fused_multiclass(rng):
                                np.asarray(ref.dims), rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(got.labels),
                                   np.asarray(ref.labels))
+
+
+def test_fused_no_nms_short_pool_pads(rng):
+    """Same short-pool padding contract as the unfused filter."""
+    anchors, deltas, dims_raw, cls = _raw_inputs(rng)
+    out = filter_detections_fused(anchors, deltas, dims_raw, cls,
+                                  num_classes=1, nms=False,
+                                  pre_nms_top_k=32, max_detections=100)
+    scores = np.asarray(out.scores)
+    assert scores.shape == (100,)
+    assert int((scores > -1).sum()) <= 32

@@ -147,6 +147,15 @@ def test_detector_quantize_api(tiny):
     assert scales.shape[0] == q.count_convs(
         lambda v, im: det.model.apply(v, im), det.variables, ims[0])
 
+    # the documented way back to float — assigning .quant_scales = None —
+    # must invalidate the compiled int8 fns (regression: the cache key
+    # omits quant state, so a stale entry would silently serve int8)
+    det.quant_scales = None
+    assert det._fns == {}
+    out_f2 = det(ims[0], P_inv, jnp.asarray(planes[None], jnp.float32))
+    np.testing.assert_array_equal(np.asarray(out_f2.scores),
+                                  np.asarray(out_f.scores))
+
 
 def test_quantize_composes_with_fused_towers():
     """The jaxpr interceptor sees the block-diagonal fused cls+dim tower
