@@ -175,8 +175,23 @@ def _hsv_to_rgb(x):
     return jnp.stack([r, g, b], axis=-1)
 
 
-def photometric(key, image, config: AugmentConfig = DEFAULT):
-    """Random photometric chain on a (H, W, 3) image in [0, 255]."""
+def _valid_mask(shape_hw, image_hw):
+    """(H, W, 1) mask of true-image pixels on a padded canvas."""
+    ys = jnp.arange(shape_hw[0], dtype=jnp.float32)[:, None]
+    xs = jnp.arange(shape_hw[1], dtype=jnp.float32)[None, :]
+    return ((ys < image_hw[0]) & (xs < image_hw[1]))[..., None]
+
+
+def photometric(key, image, config: AugmentConfig = DEFAULT,
+                image_hw=None):
+    """Random photometric chain on a (H, W, 3) image in [0, 255].
+
+    `image_hw` (h, w): the TRUE image extent when `image` is a zero-padded
+    canvas — the contrast mean is computed over real pixels only and the
+    padding is re-zeroed afterwards, reproducing the reference's
+    augment-then-pad order (its generator runs photometric on the raw
+    image, preprocessing/generator.py:72-82, and zero padding is added by
+    batching later)."""
     ks = jax.random.split(key, 4)
     x = image / 255.0
 
@@ -185,7 +200,13 @@ def photometric(key, image, config: AugmentConfig = DEFAULT):
 
     c = jax.random.uniform(ks[1], (), minval=config.contrast_range[0],
                            maxval=config.contrast_range[1])
-    mean = jnp.mean(x, axis=(0, 1), keepdims=True)
+    if image_hw is None:
+        mask = None
+        mean = jnp.mean(x, axis=(0, 1), keepdims=True)
+    else:
+        mask = _valid_mask(image.shape[:2], image_hw).astype(x.dtype)
+        count = jnp.maximum(jnp.sum(mask), 1.0)
+        mean = jnp.sum(x * mask, axis=(0, 1), keepdims=True) / count
     x = (x - mean) * c + mean
 
     hsv = _rgb_to_hsv(jnp.clip(x, 0.0, 1.0))
@@ -199,18 +220,30 @@ def photometric(key, image, config: AugmentConfig = DEFAULT):
         hsv[..., 2],
     ], axis=-1)
     x = _hsv_to_rgb(hsv)
-    return 255.0 * jnp.clip(x, 0.0, 1.0)
+    x = 255.0 * jnp.clip(x, 0.0, 1.0)
+    if mask is not None:
+        x = x * mask       # padding stays exactly zero
+    return x
 
 
 # --------------------------------------------------------------------------
 # image warp
 # --------------------------------------------------------------------------
 
-def warp_image(image, matrix):
+def warp_image(image, matrix, image_hw=None):
     """Apply a forward homogeneous 3x3 to an (H, W, C) image: output pixel
     (x, y) samples the input at matrix^-1 @ (x, y), bilinear, replicate
-    border (cv2.warpAffine default semantics)."""
+    border (cv2.warpAffine default semantics).
+
+    `image_hw` (h, w): the TRUE image extent when `image` is a zero-padded
+    canvas. Sampling is then clamped to the true frame (replicate border
+    at the real image edge, not at the canvas edge, matching the
+    reference's warp of the unpadded image, utils/image.py:143-171) and
+    output pixels outside the true frame stay zero (the padding is added
+    after warping in the reference's order)."""
     h, w = image.shape[:2]
+    clamp_h = (h - 1) if image_hw is None else (image_hw[0] - 1)
+    clamp_w = (w - 1) if image_hw is None else (image_hw[1] - 1)
     inv = jnp.linalg.inv(matrix)
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=image.dtype),
                           jnp.arange(w, dtype=image.dtype), indexing="ij")
@@ -223,8 +256,8 @@ def warp_image(image, matrix):
     fy = sy - y0
 
     def sample(yi, xi):
-        yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(yi, 0, clamp_h).astype(jnp.int32)
+        xi = jnp.clip(xi, 0, clamp_w).astype(jnp.int32)
         return image[yi, xi]
 
     v00 = sample(y0, x0)
@@ -235,7 +268,10 @@ def warp_image(image, matrix):
     fy = fy[..., None]
     top = v00 * (1 - fx) + v01 * fx
     bot = v10 * (1 - fx) + v11 * fx
-    return top * (1 - fy) + bot * fy
+    out = top * (1 - fy) + bot * fy
+    if image_hw is not None:
+        out = out * _valid_mask((h, w), image_hw).astype(out.dtype)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -303,19 +339,26 @@ def transform_boxes(matrix, boxes):
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def augment_example(key, image, annotations, ignore_boxes,
-                    config: AugmentConfig = DEFAULT):
+                    config: AugmentConfig = DEFAULT, image_hw=None):
     """Photometric + geometric augmentation of one example.
 
     Args
       image:        (H, W, 3) float in [0, 255] (pre mean-subtraction).
       annotations:  (G, 17) padded.
       ignore_boxes: (M, 4) padded.
+      image_hw:     (h, w) TRUE image extent when `image` is a zero-padded
+                    batch canvas: the transform origin/relative translation
+                    use the real size (the reference augments the unpadded
+                    image — utils/image.py:65-82 — and pads afterwards),
+                    the contrast mean and warp border see only real pixels,
+                    and the padding stays zero. None = image is unpadded.
     Returns (image, annotations, ignore_boxes) augmented.
     """
     k_photo, k_geom = jax.random.split(key)
-    image = photometric(k_photo, image, config)
-    m, flip_x = random_transform_matrix(k_geom, image.shape[:2], config)
-    image = warp_image(image, m)
+    image = photometric(k_photo, image, config, image_hw=image_hw)
+    hw = image.shape[:2] if image_hw is None else image_hw
+    m, flip_x = random_transform_matrix(k_geom, hw, config)
+    image = warp_image(image, m, image_hw=image_hw)
     annotations = transform_annotations(m, flip_x, annotations)
     ignore_boxes = transform_boxes(m, ignore_boxes)
     return image, annotations, ignore_boxes

@@ -105,15 +105,22 @@ class KittiDataset:
         self.classes = dict(classes or KITTI_CLASSES)
 
         image_dir = os.path.join(base_dir, subset, "images")
-        self.image_paths: List[str] = sorted(
-            os.path.join(image_dir, f) for f in os.listdir(image_dir)
-            if f.endswith((".png", ".jpg")))
-        self.label_paths = [
-            p.replace("images", "labels").rsplit(".", 1)[0] + ".txt"
-            for p in self.image_paths]
-        self.calib_paths = [
-            p.replace("images", "calibs").rsplit(".", 1)[0] + ".txt"
-            for p in self.image_paths]
+        # case-insensitive extension check: prepare_split accepts .PNG
+        # etc. the same way (prepare_split.py), and a mismatch here would
+        # silently construct an empty dataset
+        names = sorted(f for f in os.listdir(image_dir)
+                       if f.lower().endswith((".png", ".jpg")))
+        self.image_paths: List[str] = [
+            os.path.join(image_dir, f) for f in names]
+        # derive sibling dirs from the layout, NOT str.replace on the full
+        # path (a base_dir containing 'images' would get mangled too)
+        label_dir = os.path.join(base_dir, subset, "labels")
+        calib_dir = os.path.join(base_dir, subset, "calibs")
+        stems = [os.path.splitext(f)[0] for f in names]
+        self.label_paths = [os.path.join(label_dir, s + ".txt")
+                            for s in stems]
+        self.calib_paths = [os.path.join(calib_dir, s + ".txt")
+                            for s in stems]
 
         db = plane_db_path or os.path.join(base_dir, "road_planes_database.mat")
         self.planes = (load_plane_database(db) if os.path.exists(db)

@@ -29,14 +29,18 @@ _build_error: Optional[str] = None
 
 
 def _build() -> Optional[str]:
+    # compile to a temp path + atomic rename: a g++ killed mid-link must
+    # not leave a corrupt .so that later loads fail on
+    tmp = _SO + ".tmp"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-           "-lpng", "-ljpeg", "-pthread", "-o", _SO]
+           "-lpng", "-ljpeg", "-pthread", "-o", tmp]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired) as e:  # no toolchain
         return str(e)
     if res.returncode != 0:
         return res.stderr
+    os.replace(tmp, _SO)
     return None
 
 
@@ -45,12 +49,27 @@ def _load():
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib
-        if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        try:
+            stale = (not os.path.exists(_SO)
+                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+        except OSError:  # source missing next to a shipped .so
+            stale = not os.path.exists(_SO)
+        if stale:
             _build_error = _build()
             if _build_error:
                 return None
-        lib = ctypes.CDLL(_SO)
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            # stray/incompatible library: rebuild once, else fall back
+            _build_error = _build()
+            if _build_error:
+                return None
+            try:
+                lib = ctypes.CDLL(_SO)
+            except OSError as e:
+                _build_error = str(e)
+                return None
         lib.gpp_load_image.restype = ctypes.c_int
         lib.gpp_load_image.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,

@@ -79,7 +79,7 @@ def uint8_canvas(resized: np.ndarray, ph: int, pw: int) -> np.ndarray:
     jax.jit,
     static_argnames=("num_classes", "do_augment", "config", "image_shape"))
 def _device_prepare(key, images, anns, ann_mask, ignores, ig_mask, valid,
-                    num_classes: int, do_augment: bool,
+                    sizes, num_classes: int, do_augment: bool,
                     config: AugmentConfig, image_shape):
     """Augment + normalize + assign targets for a whole batch on device.
 
@@ -97,10 +97,15 @@ def _device_prepare(key, images, anns, ann_mask, ignores, ig_mask, valid,
     """
     images = images.astype(jnp.float32)
     if do_augment:
+        # `sizes` (B, 2) = each example's true resized (h, w) on its padded
+        # canvas: augmentation must see the real image frame (transform
+        # origin, contrast mean, warp border) and keep the padding zero —
+        # the reference augments BEFORE padding (generator.py:178,245-270)
         keys = jax.random.split(key, images.shape[0])
         images, anns, ignores = jax.vmap(
-            lambda k, i, a, g: augment_example(k, i, a, g, config=config)
-        )(keys, images, anns, ignores)
+            lambda k, i, a, g, s: augment_example(k, i, a, g,
+                                                  config=config, image_hw=s)
+        )(keys, images, anns, ignores, sizes)
 
     net_images = images - jnp.asarray(BGR_MEAN)
 
@@ -163,9 +168,11 @@ class KittiLoader:
         # bucket (subsumes the reference's aspect-ratio grouping,
         # generator.py:245-256, which only bounded pad waste)
         self._bucket_shape = {}
+        self._hw_cache = {}
         buckets = {}
         for i in range(len(dataset)):
             hw = self._image_hw(i)
+            self._hw_cache[i] = hw
             scale = resize_scale(hw, image_min_side, image_max_side)
             sh = int(np.ceil(hw[0] * scale / pad_multiple)) * pad_multiple
             sw = int(np.ceil(hw[1] * scale / pad_multiple)) * pad_multiple
@@ -181,7 +188,11 @@ class KittiLoader:
         # padding + masking keeps our batch shape static for XLA)
         self._groups = []
         for shape, idxs in sorted(buckets.items()):
-            idxs = sorted(idxs, key=dataset.aspect_ratio)
+            # sizes were just probed for bucketing — reuse them instead of
+            # re-opening every file (dataset.aspect_ratio does a PIL open)
+            idxs = sorted(
+                idxs, key=lambda j: (self._hw_cache[j][1]
+                                     / self._hw_cache[j][0]))
             for st in range(0, len(idxs), batch_size):
                 chunk = idxs[st:st + batch_size]
                 n_valid = len(chunk)
@@ -189,6 +200,9 @@ class KittiLoader:
                 self._groups.append((chunk, n_valid))
 
     def _image_hw(self, i):
+        cached = self._hw_cache.get(i)
+        if cached is not None:
+            return cached
         if self._native is not None:
             return self._native.image_size(self.ds.image_paths[i])
         from PIL import Image
@@ -203,10 +217,12 @@ class KittiLoader:
         anns, ignores = self.ds.load_annotations(idx)
         shape = self._bucket_shape[idx]
         if self._native is not None:
-            src_hw = self._native.image_size(self.ds.image_paths[idx])
+            src_hw = self._image_hw(idx)   # cached at __init__ bucketing
             scale = resize_scale(src_hw, self.min_side, self.max_side)
             padded = self._native.load_image(
                 self.ds.image_paths[idx], shape, scale)
+            true_hw = (min(int(round(src_hw[0] * scale)), shape[0]),
+                       min(int(round(src_hw[1] * scale)), shape[1]))
         else:
             image = self.ds.load_image(idx).astype(np.float32)
             scale = resize_scale(image.shape[:2], self.min_side,
@@ -215,6 +231,7 @@ class KittiLoader:
             h, w = shape
             padded = np.zeros((h, w, 3), np.float32)
             padded[: image.shape[0], : image.shape[1]] = image[:h, :w]
+            true_hw = (min(image.shape[0], h), min(image.shape[1], w))
 
         ga = np.zeros((self.max_annotations, 17), np.float32)
         gm = np.zeros(self.max_annotations, bool)
@@ -240,16 +257,17 @@ class KittiLoader:
         # such a bug into silent 255-off pixels.
         np.clip(padded, 0.0, 255.0, out=padded)
         padded = np.rint(padded, out=padded).astype(np.uint8)
-        return padded, ga, gm, ia, im_, scale
+        return padded, ga, gm, ia, im_, scale, np.asarray(true_hw,
+                                                          np.float32)
 
     def _make_batch(self, group):
         indices, n_valid = group
         items = [self._load_padded(i) for i in indices]
-        images, ga, gm, ia, im_, _ = map(np.stack, zip(*items))
+        images, ga, gm, ia, im_, _, sizes = map(np.stack, zip(*items))
         valid = np.arange(len(indices)) < n_valid
         self._key, sub = jax.random.split(self._key)
         return _device_prepare(
-            sub, images, ga, gm, ia, im_, valid,
+            sub, images, ga, gm, ia, im_, valid, sizes,
             num_classes=self.ds.num_classes,
             do_augment=self.augment,
             config=self.augment_config,
@@ -290,6 +308,8 @@ class KittiLoader:
                     continue
             return False
 
+        error: list = []
+
         def producer():
             try:
                 for group in groups:
@@ -297,6 +317,11 @@ class KittiLoader:
                         return
                     if not _put(self._make_batch(group)):
                         return
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                # a swallowed producer error would silently truncate the
+                # epoch (the consumer just sees `stop`); carry it across
+                # the thread boundary and re-raise in the training loop
+                error.append(e)
             finally:
                 _put(stop)
 
@@ -306,6 +331,8 @@ class KittiLoader:
             while True:
                 item = q.get()
                 if item is stop:
+                    if error:
+                        raise error[0]
                     break
                 yield item
         finally:
@@ -330,7 +357,7 @@ class KittiLoader:
         host resize output is uint8-valued)."""
         planes = self.ds.planes
         for i in range(len(self.ds)):
-            padded, ga, gm, _, _, scale = self._load_padded(i)
+            padded, ga, gm, _, _, scale, _ = self._load_padded(i)
             P = self.ds.load_calibration(i)
             P_scaled = np.diag([scale, scale, 1.0]) @ P
             yield {

@@ -185,14 +185,18 @@ def collect_scales(fn, batches: Sequence,
 
 def collect_scales_uint8(model, variables, canvases,
                          percentile: float = 100.0) -> np.ndarray:
-    """Calibrate from raw uint8 BGR network canvases (the serving CLIs'
-    upload format): cast + caffe-mean subtraction to match the network's
-    inference-time input distribution, then `collect_scales`."""
+    """Calibrate from network canvases in the serving CLIs' upload
+    convention: uint8 means RAW BGR (cast + caffe-mean subtraction applied
+    here, matching the device_preprocess path); float means already
+    host-preprocessed (used as-is). Then `collect_scales`."""
     from ..data.kitti import BGR_MEAN
 
     batches = []
     for c in canvases:
-        im = np.asarray(c, np.float32) - BGR_MEAN
+        raw = np.asarray(c)
+        im = raw.astype(np.float32)
+        if raw.dtype == np.uint8:
+            im = im - BGR_MEAN
         if im.ndim == 3:
             im = im[None]
         batches.append((variables, jnp.asarray(im)))

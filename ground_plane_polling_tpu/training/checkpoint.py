@@ -110,8 +110,10 @@ def prune_checkpoints(ckpt_dir: str, keep: int = 5) -> int:
     if not os.path.isdir(ckpt_dir):
         return 0
     steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    keep = max(int(keep), 0)
+    doomed = steps[:-keep] if keep else steps   # keep=0 keeps nothing
     removed = 0
-    for d in steps[:-keep] if keep > 0 else []:
+    for d in doomed:
         shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
         removed += 1
     return removed

@@ -88,18 +88,12 @@ def evaluate_model(model, state: TrainState, loader, num_classes: int = 1,
         # docs/PERFORMANCE.md; parity evals should stay float.
         import itertools
 
-        from ..data.kitti import BGR_MEAN
-        from ..models.quantize import collect_scales
+        from ..models.quantize import collect_scales_uint8
 
-        batches = []
-        for item in itertools.islice(loader.eval_inputs(), int8_calib):
-            im = np.asarray(item["image"], np.float32)
-            if np.dtype(item["image"].dtype) == np.uint8:
-                im = im - BGR_MEAN
-            batches.append((variables, jax.numpy.asarray(im)))
-        detect_kwargs["quant_scales"] = collect_scales(
-            lambda v, im: model.apply(v, im), batches,
-            percentile=int8_percentile)
+        canvases = [item["image"] for item in
+                    itertools.islice(loader.eval_inputs(), int8_calib)]
+        detect_kwargs["quant_scales"] = collect_scales_uint8(
+            model, variables, canvases, percentile=int8_percentile)
 
     group_size = int(mesh.devices.size) if mesh is not None else \
         max(int(eval_batch), 1)
@@ -192,6 +186,10 @@ def fit(model, state: TrainState, train_step: Callable, train_loader,
     save is joined before the next snapshot and before fit() returns, so
     the returned state is always durably checkpointed.
     """
+    # prune_checkpoints(keep=0) deletes EVERYTHING incl. the snapshot just
+    # written (fit prunes around each save); a training loop must always
+    # retain at least the newest checkpoint
+    keep_checkpoints = max(int(keep_checkpoints), 1)
     lr_schedule = lr_schedule or ReduceLROnPlateau()
     saver = AsyncCheckpointSaver() if async_checkpoints else None
     log_f = open(log_path, "a") if log_path else None
@@ -225,9 +223,20 @@ def fit(model, state: TrainState, train_step: Callable, train_loader,
                     batch = next(it)
                 except StopIteration:
                     it = iter(train_loader.epoch())
-                    batch = next(it)
+                    try:
+                        batch = next(it)
+                    except StopIteration:
+                        # a bare StopIteration would escape (or be
+                        # swallowed by an iterating caller) — fail loudly
+                        raise RuntimeError(
+                            "training loader yielded no batches — empty "
+                            "dataset or a failed input pipeline") from None
                 state, metrics = train_step(state, batch)
                 losses.append(metrics)
+            if not losses:
+                raise RuntimeError(
+                    "epoch ran zero steps (steps_per_epoch=0 or empty "
+                    "loader) — nothing to train on")
             per_step = {k: [float(m[k]) for m in losses] for k in losses[0]}
             if nan_guard and not all(np.isfinite(per_step["loss"])):
                 bad = int(np.argmax(~np.isfinite(per_step["loss"])))

@@ -34,8 +34,11 @@ _I64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 
 
 def _build() -> Optional[str]:
+    # temp path + atomic rename: a g++ killed mid-link must not leave a
+    # corrupt .so that later loads fail on
+    tmp = _SO + ".tmp"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-           "-o", _SO]
+           "-o", tmp]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=120)
@@ -43,6 +46,7 @@ def _build() -> Optional[str]:
         return str(e)
     if res.returncode != 0:
         return res.stderr
+    os.replace(tmp, _SO)
     return None
 
 
@@ -62,7 +66,18 @@ def _load():
             _build_error = _build()
             if _build_error:
                 return None
-        lib = ctypes.CDLL(_SO)
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            # stray/incompatible library: rebuild once, else fall back
+            _build_error = _build()
+            if _build_error:
+                return None
+            try:
+                lib = ctypes.CDLL(_SO)
+            except OSError as e:
+                _build_error = str(e)
+                return None
         lib.gpp_bev_overlap.restype = ctypes.c_int
         lib.gpp_bev_overlap.argtypes = [_D, ctypes.c_int, _D, ctypes.c_int,
                                         _D]

@@ -284,3 +284,62 @@ def test_resize_image_pil_fallback_close():
     assert ours.shape == ref.shape
     diff = np.abs(ours - ref)
     assert diff.mean() < 3.0 and np.percentile(diff, 99) < 12.0
+
+
+def test_augment_padded_canvas_matches_unpadded(rng):
+    """augment_example(image_hw=...) on a zero-padded canvas must equal
+    augmenting the unpadded image with the same key (the reference's
+    augment-then-pad order), and the padding must stay exactly zero."""
+    import jax
+
+    h, w = 56, 88
+    img = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+    ann = np.zeros((4, 17), np.float32)
+    ann[0, :4] = [10, 10, 40, 40]
+    ig = np.zeros((2, 4), np.float32)
+    key = jax.random.PRNGKey(7)
+
+    out_img, out_ann, out_ig = augment_example(key, img, ann, ig)
+
+    H, W = 64, 96
+    canvas = np.zeros((H, W, 3), np.float32)
+    canvas[:h, :w] = img
+    pad_img, pad_ann, pad_ig = augment_example(
+        key, canvas, ann, ig, image_hw=np.asarray([h, w], np.float32))
+
+    np.testing.assert_allclose(np.asarray(pad_img)[:h, :w],
+                               np.asarray(out_img), rtol=1e-5, atol=1e-3)
+    assert np.all(np.asarray(pad_img)[h:] == 0.0)
+    assert np.all(np.asarray(pad_img)[:, w:] == 0.0)
+    np.testing.assert_allclose(np.asarray(pad_ann), np.asarray(out_ann),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pad_ig), np.asarray(out_ig),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_dataset_paths_survive_images_in_base_dir(tmp_path):
+    """label/calib paths must not be derived by str.replace over the FULL
+    path (a base dir containing 'images' used to get mangled), and the
+    extension filter is case-insensitive like prepare_split's."""
+    import shutil
+    from .fixtures import make_synthetic_kitti
+    from ground_plane_polling_tpu.data.kitti import KittiDataset
+
+    root = str(tmp_path / "kitti_images")   # 'images' inside base dir
+    make_synthetic_kitti(root)
+    # uppercase extension must still be listed
+    img_dir = os.path.join(root, "train", "images")
+    first = sorted(os.listdir(img_dir))[0]
+    upper = os.path.splitext(first)[0] + "_up.PNG"
+    shutil.copy(os.path.join(img_dir, first), os.path.join(img_dir, upper))
+    for sub in ("labels", "calibs"):
+        src = os.path.join(root, "train", sub,
+                           os.path.splitext(first)[0] + ".txt")
+        shutil.copy(src, os.path.join(
+            root, "train", sub, os.path.splitext(upper)[0] + ".txt"))
+
+    ds = KittiDataset(root, "train")
+    assert any(p.endswith(".PNG") for p in ds.image_paths)
+    for i in range(len(ds)):
+        ds.load_annotations(i)      # FileNotFoundError before the fix
+        ds.load_calibration(i)

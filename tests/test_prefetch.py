@@ -69,3 +69,42 @@ def test_partial_final_batch_is_masked(tmp_path):
     # and each real sample is visited exactly once per epoch
     seen = [idx for (idxs, n) in loader._groups for idx in idxs[:n]]
     assert sorted(seen) == list(range(3))
+
+
+def test_producer_error_propagates(tmp_path):
+    """An exception in the prefetch producer (e.g. a corrupt image) must
+    re-raise in the consumer, not silently truncate the epoch."""
+    root = make_synthetic_kitti(str(tmp_path / "kitti_err"))
+    ds = KittiDataset(root, "train")
+    ldr = KittiLoader(ds, batch_size=1, image_min_side=128,
+                      image_max_side=448, pad_multiple=64, shuffle=False)
+
+    boom = RuntimeError("corrupt image")
+
+    calls = {"n": 0}
+    orig = ldr._load_padded
+
+    def failing(idx):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise boom
+        return orig(idx)
+
+    ldr._load_padded = failing
+    with pytest.raises(RuntimeError, match="corrupt image"):
+        list(ldr.epoch(prefetch=2))
+    assert calls["n"] >= 2
+
+
+def test_prune_checkpoints_keep_zero(tmp_path):
+    import os
+    from ground_plane_polling_tpu.training.checkpoint import (
+        prune_checkpoints)
+
+    d = str(tmp_path / "snaps")
+    os.makedirs(d)
+    for s in (10, 20, 30):
+        os.makedirs(os.path.join(d, f"step_{s:08d}"))
+    assert prune_checkpoints(d, keep=2) == 1
+    assert prune_checkpoints(d, keep=0) == 2     # docstring: keep nothing
+    assert os.listdir(d) == []
