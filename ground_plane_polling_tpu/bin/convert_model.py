@@ -27,8 +27,12 @@ def parse_args(argv):
     p.add_argument("model_out", help="Output path: .npz (native artifact) "
                                      "or .h5 (reference Keras layout, "
                                      "models.h5_export; resnet family).")
-    p.add_argument("--backbone", default="resnet50")
-    p.add_argument("--num-classes", type=int, default=1)
+    p.add_argument("--backbone", default=None,
+                   help="default: the input's .json sidecar if present, "
+                        "else resnet50")
+    p.add_argument("--num-classes", type=int, default=None,
+                   help="default: inferred from the classification head "
+                        "width of the loaded weights")
     p.add_argument("--no-nms", dest="nms", action="store_false")
     p.add_argument("--class-specific-filter", action="store_true",
                    default=True)
@@ -49,32 +53,66 @@ def main(argv=None):
                                        restore_checkpoint)
     from ..training.train import create_train_state, make_optimizer
 
+    import os
+
+    # the exported sidecar must describe the WEIGHTS, not CLI defaults:
+    # prefer the input .npz's own sidecar for unspecified flags, and
+    # infer num_classes from the head widths after loading (a resnet101
+    # or 3-class model converted without repeating --backbone/
+    # --num-classes used to get a sidecar claiming resnet50/1)
+    in_cfg = {}
+    if args.checkpoint.endswith(".npz") and os.path.exists(
+            args.checkpoint + ".json"):
+        with open(args.checkpoint + ".json") as f:
+            in_cfg = json.load(f)
+    backbone = args.backbone or in_cfg.get("backbone", "resnet50")
+
     if args.checkpoint.endswith((".h5", ".hdf5")):
         from ..models.h5_import import load_reference_h5
-        variables = load_reference_h5(args.checkpoint, backbone=args.backbone)
+        variables = load_reference_h5(args.checkpoint, backbone=backbone)
     elif args.checkpoint.endswith(".npz"):
         variables = import_params(args.checkpoint)
     else:
-        model = build_detector(args.backbone, num_classes=args.num_classes)
+        # orbax restore needs the model structure up front: num_classes
+        # comes from the flag or the default; a mismatch fails loudly at
+        # restore (structure mismatch), never silently
+        model = build_detector(backbone,
+                               num_classes=args.num_classes or 1)
         template_vars = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
         template = create_train_state(template_vars, make_optimizer())
         state = restore_checkpoint(args.checkpoint, template)
         variables = {"params": state.params, "frozen": state.frozen}
 
+    # num_classes from the loaded head widths (cls out = A*8*C, box = A*12)
+    box_out_ch = variables["params"]["regression"]["box_out"][
+        "bias"].shape[0]
+    cls_out_ch = variables["params"]["classification"]["cls_out"][
+        "bias"].shape[0]
+    num_anchors = max(box_out_ch // 12, 1)
+    inferred = (cls_out_ch // (num_anchors * 8)
+                if cls_out_ch % (num_anchors * 8) == 0 else None)
+    num_classes = args.num_classes or in_cfg.get("num_classes") or \
+        inferred or 1
+    if inferred is not None and num_classes != inferred:
+        raise ValueError(
+            f"--num-classes {num_classes} contradicts the loaded weights "
+            f"(classification head width {cls_out_ch} -> {inferred} "
+            f"classes at {num_anchors} anchors)")
+
     if args.model_out.endswith((".h5", ".hdf5")):
         # reverse interop: write the reference's Keras checkpoint layout
         from ..models.h5_export import export_reference_h5
 
         export_reference_h5(variables, args.model_out,
-                            backbone=args.backbone)
+                            backbone=backbone)
         print(f"wrote {args.model_out} (reference Keras h5 layout)")
         return
 
     export_params(args.model_out, variables)
     config = {
-        "backbone": args.backbone,
-        "num_classes": args.num_classes,
+        "backbone": backbone,
+        "num_classes": num_classes,
         "nms": args.nms,
         "class_specific_filter": args.class_specific_filter,
         "orientation_specific_filter": args.orientation_specific_filter,

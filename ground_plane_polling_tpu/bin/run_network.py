@@ -63,9 +63,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import scipy.io
 
-    from ..data.kitti import read_image_bgr, resize_scale
-    from ..data.label_prep import read_calibration
-    from ..data.pipeline import _resize_image, uint8_canvas
+    from ..data.pipeline import prepare_network_frame
     from ..data.planes import load_plane_database
     from ..inference import make_detect_fn
     from ..models import build_detector
@@ -143,10 +141,8 @@ def main(argv=None):
         return detect_fns[shape]
 
     def prepare(fn_txt):
-        """Host-side contract for one frame: read, resize, pad to the
-        32-multiple bucket (matches the data pipeline — the former 128
-        bucket carried 29% more pixels, measured 24-31% slower e2e),
-        scale the calibration."""
+        """One frame via the shared host-side contract
+        (data.pipeline.prepare_network_frame — same path as serve)."""
         image_fp = None
         for ext in (".png", ".jpg"):
             cand = os.path.join(args.image_dir, fn_txt.replace(".txt", ext))
@@ -155,17 +151,11 @@ def main(argv=None):
                 break
         if image_fp is None:
             return None
-        raw = read_image_bgr(image_fp)
-        scale = resize_scale(raw.shape[:2], args.image_min_side,
-                             args.image_max_side)
-        resized = _resize_image(raw.astype(np.float32), scale)
-        ph = int(np.ceil(resized.shape[0] / 32)) * 32
-        pw = int(np.ceil(resized.shape[1] / 32)) * 32
-        # uint8 payload; the detect fn runs device_preprocess
-        image = uint8_canvas(resized, ph, pw)
-        P = read_calibration(os.path.join(args.calib_dir, fn_txt))
-        P_inv = np.linalg.pinv(np.diag([scale, scale, 1.0]) @ P)
-        return image_fp, raw, scale, image, P, P_inv
+        fr = prepare_network_frame(
+            image_fp, os.path.join(args.calib_dir, fn_txt),
+            args.image_min_side, args.image_max_side)
+        return (image_fp, fr["raw"], fr["scale"], fr["image"], fr["P"],
+                fr["P_inv"])
 
     calib_files = sorted(f for f in os.listdir(args.calib_dir)
                          if f.endswith(".txt"))

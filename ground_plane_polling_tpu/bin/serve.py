@@ -67,9 +67,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from ..data.kitti import read_image_bgr, resize_scale
-    from ..data.label_prep import read_calibration
-    from ..data.pipeline import _resize_image, uint8_canvas
+    from ..data.pipeline import prepare_network_frame
     from ..data.planes import load_plane_database
     from ..inference import make_detect_fn
     from ..models import build_detector
@@ -117,21 +115,12 @@ def main(argv=None):
                 break
         else:
             return None
-        raw = read_image_bgr(fp)
-        scale = resize_scale(raw.shape[:2], args.image_min_side,
-                             args.image_max_side)
-        resized = _resize_image(raw.astype(np.float32), scale)
-        # 32-multiple bucket, matching the data pipeline (the 128 bucket
-        # was measured 24-31% slower end to end at KITTI resolution)
-        ph = int(np.ceil(resized.shape[0] / 32)) * 32
-        pw = int(np.ceil(resized.shape[1] / 32)) * 32
-        padded = uint8_canvas(resized, ph, pw)
-        P = read_calibration(os.path.join(args.calib_dir, stem + ".txt"))
-        P_inv = np.linalg.pinv(np.diag([scale, scale, 1.0]) @ P)
-        return {"stem": stem, "shape": (ph, pw), "scale": scale,
-                "image": padded,
-                "P_inv": P_inv.astype(np.float32),
-                "image_hw": raw.shape[:2]}
+        fr = prepare_network_frame(
+            fp, os.path.join(args.calib_dir, stem + ".txt"),
+            args.image_min_side, args.image_max_side)
+        return {"stem": stem, "shape": fr["shape"], "scale": fr["scale"],
+                "image": fr["image"], "P_inv": fr["P_inv"],
+                "image_hw": fr["raw"].shape[:2]}
 
     def dispatch_batch(items):
         """items share one padded shape; pads to batch_size by repetition.
@@ -164,12 +153,14 @@ def main(argv=None):
         return n
 
     done = set()
+    fail_counts: dict = {}
     total = 0
     t_start = time.time()
     while True:
-        stems = sorted(
+        # set-dedupe: stem.png + stem.jpg must not process twice
+        stems = sorted({
             f.rsplit(".", 1)[0] for f in os.listdir(args.image_dir)
-            if f.endswith((".png", ".jpg")))
+            if f.lower().endswith((".png", ".jpg"))})
         fresh = [s for s in stems if s not in done
                  and os.path.exists(os.path.join(args.calib_dir, s + ".txt"))]
         if not fresh:
@@ -180,7 +171,17 @@ def main(argv=None):
 
         buckets = {}
         for stem in fresh:
-            item = load_item(stem)
+            # a watcher must survive partially-written / corrupt frames:
+            # a file listed mid-copy fails to decode — retry it on later
+            # polls, give up (and log) after a few attempts
+            try:
+                item = load_item(stem)
+            except Exception as e:  # noqa: BLE001 — skip-and-retry
+                fail_counts[stem] = fail_counts.get(stem, 0) + 1
+                if fail_counts[stem] >= 5 or args.once:
+                    print(f"skipping {stem}: {e}", file=sys.stderr)
+                    done.add(stem)
+                continue
             if item is not None:
                 buckets.setdefault(item["shape"], []).append(item)
             done.add(stem)

@@ -18,6 +18,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <csetjmp>
+#include <cctype>
 #include <string>
 #include <thread>
 #include <vector>
@@ -50,12 +52,32 @@ bool decode_png(const char* path, Image* out) {
   return true;
 }
 
+// libjpeg's default error_exit calls exit(): a corrupt .jpg would kill
+// the whole training/serving process from a worker thread. Standard
+// setjmp/longjmp error manager turns any libjpeg error into `return
+// false` (the decode-failure contract of gpp_load_batch).
+struct JpegErrorJmp {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_longjmp(j_common_ptr cinfo) {
+  JpegErrorJmp* err = reinterpret_cast<JpegErrorJmp*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
 bool decode_jpeg(const char* path, Image* out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  JpegErrorJmp jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_longjmp;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
@@ -86,10 +108,12 @@ bool decode_jpeg(const char* path, Image* out) {
 }
 
 bool decode_image(const char* path, Image* out) {
+  // route by extension, case-insensitively (.JPEG/.Jpg/.PNG are common)
   const char* dot = std::strrchr(path, '.');
-  if (dot && (!std::strcmp(dot, ".jpg") || !std::strcmp(dot, ".jpeg") ||
-              !std::strcmp(dot, ".JPG"))) {
-    return decode_jpeg(path, out);
+  if (dot) {
+    std::string ext(dot + 1);
+    for (char& c : ext) c = static_cast<char>(std::tolower(c));
+    if (ext == "jpg" || ext == "jpeg") return decode_jpeg(path, out);
   }
   return decode_png(path, out);
 }

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["PoseResult", "solve_pose", "rodrigues_from_matrix",
-           "matrix_from_rodrigues"]
+           "matrix_from_rodrigues", "corners_from_pose"]
 
 _EPS = 1e-12
 
@@ -134,3 +134,25 @@ def solve_pose(keypoints, orientations, dimensions):
     R = jnp.stack([x_dir, y_dir, z_dir], axis=-1)  # columns are the axes
     angles = rodrigues_from_matrix(R)
     return PoseResult(locations=locations, angles=angles, dimensions=dims_out)
+
+
+def corners_from_pose(dimensions, R, location):
+    """World-frame 8 corners (3, 8) of a KITTI box from (h, w, l), a
+    rotation matrix and the bottom-face-centre location.
+
+    Canonical corner order (the reference's run_network.py:294-310):
+    bottom face first (x = +-l/2, z = +-w/2, y = 0) then the top face
+    (y = -h; camera y points down). Single shared implementation for the
+    KITTI writer and the 3D visualization so the txt output and the
+    rendered wireframes can never disagree about the same box.
+    """
+    import numpy as np
+
+    h, w, l = [float(v) for v in dimensions]
+    x_c = np.array([l / 2, l / 2, -l / 2, -l / 2,
+                    l / 2, l / 2, -l / 2, -l / 2])
+    y_c = np.array([0.0, 0, 0, 0, -h, -h, -h, -h])
+    z_c = np.array([w / 2, -w / 2, -w / 2, w / 2,
+                    w / 2, -w / 2, -w / 2, w / 2])
+    return (np.asarray(R) @ np.stack([x_c, y_c, z_c])
+            + np.asarray(location)[:, None])

@@ -35,6 +35,14 @@ def initialize(coordinator_address: Optional[str] = None,
     process_id = process_id if process_id is not None else int(
         os.environ.get("PROCESS_ID", 0))
     if num_processes <= 1:
+        if process_id:
+            # coordinator + nonzero rank but num_processes<=1 is a broken
+            # launch (NUM_PROCESSES forgotten): silently proceeding would
+            # train N independent copies clobbering each other's output
+            raise ValueError(
+                f"COORDINATOR_ADDRESS={coordinator_address} and "
+                f"PROCESS_ID={process_id} are set but num_processes is "
+                f"{num_processes} — set NUM_PROCESSES on every host")
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

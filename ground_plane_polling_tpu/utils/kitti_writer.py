@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.pose import matrix_from_rodrigues
+from ..ops.pose import corners_from_pose, matrix_from_rodrigues
 
 __all__ = ["wrap_angle", "kitti_rows", "write_kitti_file"]
 
@@ -47,15 +47,8 @@ def kitti_rows(boxes, scores, locations, angles, dimensions, image_hw,
     rows = []
     h_img, w_img = image_hw
     for i in range(len(scores)):
-        h, w, l = dimensions[i]
-        x_c = np.array([l / 2, l / 2, -l / 2, -l / 2,
-                        l / 2, l / 2, -l / 2, -l / 2])
-        y_c = np.array([0.0, 0, 0, 0, -h, -h, -h, -h])
-        z_c = np.array([w / 2, -w / 2, -w / 2, w / 2,
-                        w / 2, -w / 2, -w / 2, w / 2])
         R = np.asarray(matrix_from_rodrigues(np.asarray(angles[i])))
-        corners = R @ np.stack([x_c, y_c, z_c]) + np.asarray(
-            locations[i])[:, None]
+        corners = corners_from_pose(dimensions[i], R, locations[i])
 
         r_y = wrap_angle(float(angles[i][1]))
         Y = float(np.max(corners[1]))

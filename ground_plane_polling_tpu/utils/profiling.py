@@ -10,8 +10,8 @@ Usage:
         out = detect(...)
 
     timer = StageTimer()
-    with timer.stage("forward"):
-        ...
+    with timer.stage("forward") as s:
+        s.result = detect(...)      # timer blocks on s.result at exit
     print(timer.summary())
 """
 
@@ -39,18 +39,30 @@ def trace(name: str, logdir: Optional[str] = None):
 
 
 class StageTimer:
-    """Accumulating wall-clock timers with block-until-ready semantics."""
+    """Accumulating wall-clock timers with block-until-ready semantics.
+
+    Store the stage's output on the yielded holder so the timer can block
+    on it — jax dispatch is async, and without blocking a "stage" records
+    only dispatch time:
+
+        with timer.stage("forward") as s:
+            s.result = detect_fn(variables, images)
+    """
 
     def __init__(self):
         self.totals = defaultdict(float)
         self.counts = defaultdict(int)
 
+    class _Holder:
+        result = None
+
     @contextlib.contextmanager
-    def stage(self, name: str, result=None):
+    def stage(self, name: str):
+        holder = self._Holder()
         t0 = time.perf_counter()
-        yield
-        if result is not None:
-            jax.block_until_ready(result)
+        yield holder
+        if holder.result is not None:
+            jax.block_until_ready(holder.result)
         self.totals[name] += time.perf_counter() - t0
         self.counts[name] += 1
 

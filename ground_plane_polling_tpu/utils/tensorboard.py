@@ -26,6 +26,8 @@ import socket
 import struct
 import time
 
+_FILE_COUNTER = 0
+
 __all__ = ["TensorBoardWriter", "jsonl_to_tensorboard"]
 
 # --- CRC32C (Castagnoli), table-driven ------------------------------------
@@ -107,8 +109,13 @@ class TensorBoardWriter:
 
     def __init__(self, logdir: str):
         os.makedirs(logdir, exist_ok=True)
+        # pid + counter suffix (like TF's writer): two writers opened in
+        # the same second on one host must not append to the same file —
+        # interleaved TFRecord writes corrupt it for TensorBoard
+        global _FILE_COUNTER
+        _FILE_COUNTER += 1
         name = (f"events.out.tfevents.{int(time.time())}."
-                f"{socket.gethostname()}")
+                f"{socket.gethostname()}.{os.getpid()}.{_FILE_COUNTER}")
         self._f = open(os.path.join(logdir, name), "ab")
         self._write(_version_event(time.time()))
 

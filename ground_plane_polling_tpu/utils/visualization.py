@@ -15,7 +15,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..ops.pose import matrix_from_rodrigues
+from ..ops.pose import corners_from_pose, matrix_from_rodrigues
 from .colors import label_color
 
 __all__ = [
@@ -134,15 +134,8 @@ def draw_3d_detections_from_pose(image, boxes2d, orientations, residuals,
     for i in range(len(scores)):
         if scores[i] < score_threshold:
             continue
-        h, w, l = [float(v) for v in dimensions[i]]
-        x_c = np.array([l / 2, l / 2, -l / 2, -l / 2,
-                        l / 2, l / 2, -l / 2, -l / 2])
-        y_c = np.array([0.0, 0, 0, 0, -h, -h, -h, -h])
-        z_c = np.array([w / 2, -w / 2, -w / 2, w / 2,
-                        w / 2, -w / 2, -w / 2, w / 2])
         R = np.asarray(matrix_from_rodrigues(np.asarray(angles[i])))
-        corners = R @ np.stack([x_c, y_c, z_c]) + np.asarray(
-            locations[i])[:, None]
+        corners = corners_from_pose(dimensions[i], R, locations[i])
         if (corners[2] < 0.1).any():
             continue
         hom = P @ np.vstack([corners, np.ones((1, 8))])

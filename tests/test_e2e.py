@@ -319,3 +319,32 @@ def test_run_network_fuse_towers_identical(trained, tmp_path):
         np.testing.assert_allclose(np.array(ra[1:], float),
                                    np.array(rb[1:], float),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_convert_model_sidecar_from_weights(tmp_path):
+    """convert-model must describe the WEIGHTS in the output sidecar:
+    input-sidecar backbone propagates and num_classes is inferred from
+    the classification head width, not CLI defaults."""
+    import jax
+    import jax.numpy as jnp
+
+    from ground_plane_polling_tpu.bin.convert_model import main as convert
+    from ground_plane_polling_tpu.models import build_detector
+    from ground_plane_polling_tpu.training.checkpoint import export_params
+
+    model = build_detector("tiny", num_classes=2)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 96, 3), jnp.float32))
+    src = str(tmp_path / "src.npz")
+    export_params(src, variables)
+    with open(src + ".json", "w") as f:
+        json.dump({"backbone": "tiny", "num_classes": 2}, f)
+
+    dst = str(tmp_path / "dst.npz")
+    convert([src, dst])                       # no --backbone/--num-classes
+    cfg = json.load(open(dst + ".json"))
+    assert cfg["backbone"] == "tiny"
+    assert cfg["num_classes"] == 2
+
+    with pytest.raises(ValueError, match="contradicts"):
+        convert([src, str(tmp_path / "bad.npz"), "--num-classes", "3"])

@@ -7,8 +7,8 @@ def test_stage_timer_accumulates():
     t = StageTimer()
     x = jnp.ones((8, 8))
     for _ in range(3):
-        with t.stage("matmul", result=x):
-            y = x @ x
+        with t.stage("matmul") as s:
+            s.result = x @ x
     assert t.counts["matmul"] == 3
     assert t.totals["matmul"] > 0
     assert "matmul" in t.summary()
