@@ -92,6 +92,9 @@ class AsyncCheckpointSaver:
             self._thread = None
         if self._error is not None:
             err, self._error = self._error, None
+            # the failed save's path must not be reported as the last
+            # good checkpoint by a subsequent wait()
+            self._path = None
             raise RuntimeError("async checkpoint save failed") from err
         return self._path
 

@@ -75,7 +75,43 @@ def test_async_checkpoint_saver(tmp_path):
     saver.save(str(blocker / "sub"), state2)
     with pytest.raises(RuntimeError, match="async checkpoint save failed"):
         saver.wait()
-    saver.wait()  # error is consumed; the saver stays usable
+    # error consumed, saver stays usable — and the FAILED save's path is
+    # forgotten (a caller logging "last checkpoint" must not get a path
+    # that was never written)
+    assert saver.wait() is None
+
+
+def test_async_saver_copies_before_donation(tmp_path, monkeypatch):
+    """save() must hand the writer an on-device COPY: the train step
+    donates the live state's buffers, so writing from the live arrays is
+    a use-after-donate. CPU ignores donation, so pin it by identity —
+    the tree the writer gets must share no buffers with the live state."""
+    import ground_plane_polling_tpu.training.checkpoint as ckpt_mod
+
+    def ptr(a):
+        try:
+            return a.unsafe_buffer_pointer()   # device buffer address
+        except Exception:
+            return id(a)
+
+    _, state = _state()
+    live_ptrs = {ptr(l) for l in jax.tree_util.tree_leaves(
+        state._asdict()) if isinstance(l, jax.Array)}
+    seen = {}
+    orig_get = jax.device_get
+
+    def spying_get(tree):
+        seen["leaves"] = jax.tree_util.tree_leaves(tree)
+        return orig_get(tree)
+
+    monkeypatch.setattr(ckpt_mod.jax, "device_get", spying_get)
+    saver = AsyncCheckpointSaver()
+    saver.save(str(tmp_path / "ckpt"), state)
+    saver.wait()
+    assert seen["leaves"], "writer thread never pulled the state"
+    shared = [l for l in seen["leaves"]
+              if isinstance(l, jax.Array) and ptr(l) in live_ptrs]
+    assert not shared, "writer got live (donatable) buffers, not copies"
 
 
 def test_export_import_params(tmp_path):
@@ -111,3 +147,18 @@ def test_reduce_lr_on_plateau():
     # improvement resets
     state, red = sched.update(state, 5.0)
     assert not red
+
+
+def test_prune_checkpoints_keep_zero(tmp_path):
+    import os
+
+    from ground_plane_polling_tpu.training.checkpoint import (
+        prune_checkpoints)
+
+    d = str(tmp_path / "snaps")
+    os.makedirs(d)
+    for s in (10, 20, 30):
+        os.makedirs(os.path.join(d, f"step_{s:08d}"))
+    assert prune_checkpoints(d, keep=2) == 1
+    assert prune_checkpoints(d, keep=0) == 2     # docstring: keep nothing
+    assert os.listdir(d) == []

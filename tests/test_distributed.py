@@ -105,21 +105,3 @@ def test_two_process_dp_matches_single_process(tmp_path):
             np.asarray(leaf), dist[key], rtol=1e-5, atol=5e-7,
             err_msg=f"param {key} diverged between 1-proc and 2-proc runs")
 
-
-def test_initialize_rejects_broken_multihost_env(monkeypatch):
-    """COORDINATOR_ADDRESS + a nonzero PROCESS_ID with NUM_PROCESSES
-    unset is a broken launch: silently proceeding would train N
-    independent copies. Must raise, not no-op."""
-    import pytest as _pytest
-
-    from ground_plane_polling_tpu.parallel import distributed
-
-    monkeypatch.setenv("COORDINATOR_ADDRESS", "127.0.0.1:9999")
-    monkeypatch.setenv("PROCESS_ID", "1")
-    monkeypatch.delenv("NUM_PROCESSES", raising=False)
-    with _pytest.raises(ValueError, match="NUM_PROCESSES"):
-        distributed.initialize()
-    # a plain single-host env (nothing set) stays a clean no-op
-    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
-    monkeypatch.delenv("PROCESS_ID", raising=False)
-    distributed.initialize()

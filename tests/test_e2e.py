@@ -100,10 +100,19 @@ def test_convert_and_run_network(trained, tmp_path):
         src = os.path.join(kitti_root, "_raw_labels", f)
         assert os.path.exists(src), f"no raw GT for output {f}"
         shutil.copy(src, os.path.join(gt_dir, f))
+    # the det file must actually parse to rows and the GT must gate in
+    # (the fixture Car is 130 px tall, occ 0, trunc 0 -> valid at every
+    # difficulty), so bbox APs are real numbers — an all-NaN result
+    # would mean the writer/evaluator format contract broke
+    from ground_plane_polling_tpu.utils.eval3d import parse_label_file
+
+    det_rows = parse_label_file(os.path.join(det_dir, kitti_out[0]))
+    assert len(det_rows["type"]) > 0
     res = eval3d_cli([gt_dir, det_dir, "--ap-mode", "11"])
     for metric in ("bbox", "bev", "3d", "aos"):
         for diff, v in res["Car"][metric].items():
             assert np.isnan(v) or 0.0 <= v <= 100.0, (metric, diff, v)
+    assert not np.isnan(res["Car"]["bbox"]["moderate"])
 
 
 def test_evaluate_cli(trained, tmp_path):

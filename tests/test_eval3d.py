@@ -375,6 +375,8 @@ def test_cli_json_is_valid_with_empty_buckets(tmp_path):
     main([str(gt_dir), str(det_dir), "--metrics", "bbox",
           "--json", str(out)])
     import json
-    parsed = json.loads(out.read_text())   # raises on bare NaN
+    # (json.loads itself tolerates bare NaN — the real guards are the
+    # None value and the absence of the NaN token below)
+    parsed = json.loads(out.read_text())
     assert parsed["Car"]["bbox"]["easy"] is None
     assert "NaN" not in out.read_text()

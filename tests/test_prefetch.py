@@ -91,20 +91,13 @@ def test_producer_error_propagates(tmp_path):
         return orig(idx)
 
     ldr._load_padded = failing
+    before = _thread_count()
     with pytest.raises(RuntimeError, match="corrupt image"):
         list(ldr.epoch(prefetch=2))
     assert calls["n"] >= 2
+    # the error path must also reap the producer (module contract)
+    deadline = time.time() + 10
+    while _thread_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert _thread_count() <= before
 
-
-def test_prune_checkpoints_keep_zero(tmp_path):
-    import os
-    from ground_plane_polling_tpu.training.checkpoint import (
-        prune_checkpoints)
-
-    d = str(tmp_path / "snaps")
-    os.makedirs(d)
-    for s in (10, 20, 30):
-        os.makedirs(os.path.join(d, f"step_{s:08d}"))
-    assert prune_checkpoints(d, keep=2) == 1
-    assert prune_checkpoints(d, keep=0) == 2     # docstring: keep nothing
-    assert os.listdir(d) == []

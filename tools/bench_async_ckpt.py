@@ -2,15 +2,23 @@
 
 Protocol (one process):
   1. build the full-res train state (resnet50, 416x1344, batch 2)
-  2. t_sync  = wall time of a synchronous save_checkpoint
-  3. t_save  = wall time of AsyncCheckpointSaver.save() (on-device copy
-               + thread start — should be near-zero)
-     then dispatch N train steps while the pull runs
-     t_steps = wall time of the steps (forced via loss fetch)
-     t_wait  = wall time of saver.wait()
-  Overlap efficiency = 1 - (t_save + t_wait) / t_sync: how much of the
-  snapshot pull the training hid. If the relay serializes d2h against
-  step dispatch, t_steps inflates instead — reported too.
+  2. repeat GPP_ACKPT_REPEATS (default 3) measurement cycles, each:
+       t_sync      = wall time of a synchronous save_checkpoint
+       t_steps_ref = wall time of N train steps alone
+       t_save      = AsyncCheckpointSaver.save() call (on-device copy
+                     + thread start — should be near-zero)
+       t_steps     = wall time of N steps while the pull runs
+       t_wait      = saver.wait()
+     and keep the cycle with the SMALLEST total — the clear-path
+     envelope. The relay is phase-bimodal (docs/PERFORMANCE.md session
+     I): a single window can inflate ~1.9x, and a phase flip BETWEEN
+     the reference and async windows fakes (or hides) step inflation,
+     so cycles are kept atomic and the min is taken across cycles.
+  3. effective async stall = t_save + t_wait + (t_steps - t_steps_ref),
+     i.e. everything the snapshot still costs the training loop
+     (including steps slowed by sharing the wire with the pull; a
+     negative delta from residual noise is clipped at 0 and the raw
+     value printed). "% hidden" = 1 - stall_async / t_sync.
 
 Usage: tools/tpu_run.sh python tools/bench_async_ckpt.py [n_steps]
 """
@@ -70,32 +78,44 @@ def main():
 
     state = run_steps(state, 3)  # compile + warm
 
+    repeats = int(os.environ.get("GPP_ACKPT_REPEATS", 3))
+    cycles = []
     with tempfile.TemporaryDirectory() as d:
-        t0 = time.perf_counter()
-        save_checkpoint(os.path.join(d, "sync"), state)
-        t_sync = time.perf_counter() - t0
+        for r in range(repeats):
+            t0 = time.perf_counter()
+            save_checkpoint(os.path.join(d, f"sync{r}"), state)
+            t_sync = time.perf_counter() - t0
 
-        # steps-only reference window
-        t0 = time.perf_counter()
-        state = run_steps(state, N_STEPS)
-        t_steps_ref = time.perf_counter() - t0
+            # steps-only reference window (same cycle as its async twin
+            # so a relay phase flip cannot land between them unnoticed)
+            t0 = time.perf_counter()
+            state = run_steps(state, N_STEPS)
+            t_steps_ref = time.perf_counter() - t0
 
-        saver = AsyncCheckpointSaver()
-        t0 = time.perf_counter()
-        saver.save(os.path.join(d, "async"), state)
-        t_save = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        state = run_steps(state, N_STEPS)
-        t_steps = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        saver.wait()
-        t_wait = time.perf_counter() - t0
+            saver = AsyncCheckpointSaver()
+            t0 = time.perf_counter()
+            saver.save(os.path.join(d, f"async{r}"), state)
+            t_save = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            state = run_steps(state, N_STEPS)
+            t_steps = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            saver.wait()
+            t_wait = time.perf_counter() - t0
+            cycles.append((t_sync, t_steps_ref, t_save, t_steps, t_wait))
+            print(f"[cycle {r}] sync {t_sync:.1f}s ref {t_steps_ref:.1f}s "
+                  f"save {t_save:.1f}s steps {t_steps:.1f}s "
+                  f"wait {t_wait:.1f}s", flush=True)
 
-    stall_async = t_save + t_wait + max(0.0, t_steps - t_steps_ref)
+    # clear-path envelope: the cycle with the least total relay time
+    t_sync, t_steps_ref, t_save, t_steps, t_wait = min(
+        cycles, key=lambda c: sum(c))
+    delta = t_steps - t_steps_ref
+    stall_async = t_save + t_wait + max(0.0, delta)
     print(f"sync save:            {t_sync:8.2f} s")
     print(f"async save() call:    {t_save:8.2f} s")
     print(f"{N_STEPS} steps alone:   {t_steps_ref:8.2f} s")
-    print(f"{N_STEPS} steps w/ pull: {t_steps:8.2f} s")
+    print(f"{N_STEPS} steps w/ pull: {t_steps:8.2f} s (delta {delta:+.2f})")
     print(f"async wait():         {t_wait:8.2f} s")
     print(f"effective stall sync {t_sync:.2f} s -> async {stall_async:.2f} s "
           f"({100 * (1 - stall_async / max(t_sync, 1e-9)):.0f}% hidden)")
