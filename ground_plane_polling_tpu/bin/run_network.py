@@ -136,6 +136,10 @@ def main(argv=None):
                 class_specific=cfg.get("class_specific_filter", True),
                 orientation_specific=cfg.get("orientation_specific_filter",
                                              False),
+                # the COMPILED filter must honour the CLI threshold —
+                # otherwise --score-threshold below the 0.05 default is
+                # silently ineffective (candidates are masked on device)
+                score_threshold=args.score_threshold,
                 quant_scales=quant_scales,
                 device_preprocess=True)
         return detect_fns[shape]

@@ -104,6 +104,10 @@ def main(argv=None):
                 class_specific=cfg.get("class_specific_filter", True),
                 orientation_specific=cfg.get("orientation_specific_filter",
                                              False),
+                # compile the filter at the CLI threshold (see
+                # run_network.get_fn — a lower --score-threshold must
+                # not be silently masked by the on-device default)
+                score_threshold=args.score_threshold,
                 quant_scales=quant_scales,
                 device_preprocess=True)
         return detect_fns[shape]
