@@ -48,6 +48,11 @@ def initialize(coordinator_address: Optional[str] = None,
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
+        # jax's default coordinator-connect timeout is 300 s; on a loaded
+        # single-CPU box (the 2-process CI test) worker starts can be
+        # minutes apart, which flakes the barrier. Env-overridable.
+        initialization_timeout=int(
+            os.environ.get("GPP_DIST_INIT_TIMEOUT", 900)),
     )
 
 
