@@ -37,6 +37,9 @@ def parse_args(argv):
     p.add_argument("--backbone", default=None,
                    help="Override the sidecar's backbone name.")
     p.add_argument("--score-threshold", type=float, default=0.05)
+    p.add_argument("--class-names", nargs="+", default=["Car"],
+                   help="KITTI type string per class id for the txt "
+                        "output (multi-class models; default Car)")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--int8", type=int, nargs="?", const=8, default=0,
@@ -217,9 +220,13 @@ def main(argv=None):
              "keyplanes": keyplanes, "keypoints3d": keypoints})
 
         if args.kitti:
+            names = [args.class_names[int(l)]
+                     if 0 <= int(l) < len(args.class_names) else "Car"
+                     for l in labels]
             write_kitti_file(
                 os.path.join(out_root, "outputs", "kitti", stem + ".txt"),
-                boxes, scores, locations, angles, dims, raw.shape[:2])
+                boxes, scores, locations, angles, dims, raw.shape[:2],
+                class_name=names)
 
         if args.save_images:
             from PIL import Image

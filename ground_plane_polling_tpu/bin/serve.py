@@ -36,6 +36,9 @@ def parse_args(argv):
                     "sweet spot (221 img/s vs 215 at b8) at the lowest\n"
                     "latency; see docs/PERFORMANCE.md")
     p.add_argument("--poll-interval", type=float, default=0.5)
+    p.add_argument("--class-names", nargs="+", default=["Car"],
+                   help="KITTI type string per class id for the txt "
+                        "output (multi-class models; default Car)")
     p.add_argument("--once", action="store_true",
                    help="process what's there, then exit (no watching)")
     p.add_argument("--score-threshold", type=float, default=0.05)
@@ -149,11 +152,15 @@ def main(argv=None):
         for j in range(n):
             it = items[j]
             keep = out["scores"][j] > args.score_threshold
+            names = [args.class_names[int(l)]
+                     if 0 <= int(l) < len(args.class_names) else "Car"
+                     for l in out["labels"][j][keep]]
             write_kitti_file(
                 os.path.join(args.output_dir, it["stem"] + ".txt"),
                 out["boxes"][j][keep] / it["scale"], out["scores"][j][keep],
                 out["locations"][j][keep], out["angles"][j][keep],
-                out["pose_dims"][j][keep], it["image_hw"])
+                out["pose_dims"][j][keep], it["image_hw"],
+                class_name=names)
         return n
 
     done = set()

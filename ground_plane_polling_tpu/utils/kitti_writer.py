@@ -44,6 +44,16 @@ def kitti_rows(boxes, scores, locations, angles, dimensions, image_hw,
       dimensions: (N, 3) (h, w, l).
       image_hw:   (height, width) of the raw image for box clipping.
     """
+    # class_name: one string for every row (the reference's single-class
+    # behaviour) or a per-detection sequence for multi-class models
+    if isinstance(class_name, str):
+        names = [class_name] * len(scores)
+    else:
+        names = list(class_name)
+        if len(names) != len(scores):
+            raise ValueError(
+                f"class_name sequence length {len(names)} != "
+                f"{len(scores)} detections")
     rows = []
     h_img, w_img = image_hw
     for i in range(len(scores)):
@@ -57,7 +67,7 @@ def kitti_rows(boxes, scores, locations, angles, dimensions, image_hw,
             r_y + np.arctan2(locations[i][2], locations[i][0]) + 1.5 * np.pi)
 
         rows.append(
-            f"{class_name} -1 -1 {alpha:.2f} "
+            f"{names[i]} -1 -1 {alpha:.2f} "
             f"{max(boxes[i][0], 0.0):.2f} {max(boxes[i][1], 0.0):.2f} "
             f"{min(boxes[i][2], w_img):.2f} {min(boxes[i][3], h_img):.2f} "
             f"{h_out:.2f} {dimensions[i][1]:.2f} {dimensions[i][2]:.2f} "

@@ -380,3 +380,27 @@ def test_cli_json_is_valid_with_empty_buckets(tmp_path):
     parsed = json.loads(out.read_text())
     assert parsed["Car"]["bbox"]["easy"] is None
     assert "NaN" not in out.read_text()
+
+
+def test_kitti_writer_per_row_class_names(tmp_path):
+    """Multi-class models: write_kitti_file accepts a per-detection name
+    sequence (single string = reference single-class behaviour)."""
+    from ground_plane_polling_tpu.utils.kitti_writer import write_kitti_file
+
+    kw = dict(
+        boxes=np.array([[10.0, 10, 60, 60], [100.0, 10, 150, 60]]),
+        scores=np.array([0.9, 0.8]),
+        locations=np.array([[0.0, 1.6, 12.0], [3.0, 1.6, 20.0]]),
+        angles=np.zeros((2, 3)),
+        dimensions=np.tile([1.5, 1.7, 4.2], (2, 1)),
+        image_hw=(400, 1300),
+    )
+    p = tmp_path / "multi.txt"
+    write_kitti_file(p, class_name=["Car", "Pedestrian"], **kw)
+    types = [ln.split()[0] for ln in p.read_text().splitlines()]
+    assert types == ["Car", "Pedestrian"]
+    write_kitti_file(p, class_name="Car", **kw)
+    assert [ln.split()[0] for ln in p.read_text().splitlines()] == \
+        ["Car", "Car"]
+    with pytest.raises(ValueError, match="sequence length"):
+        write_kitti_file(p, class_name=["Car"], **kw)
