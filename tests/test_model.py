@@ -229,3 +229,16 @@ def test_fuse_detector_params_idempotent_and_validating():
     assert "clsdim" in again["params"]
     with pytest.raises(ValueError, match="head subtrees"):
         fuse_detector_params({"params": {"backbone": {}}})
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["resnet101", "resnet152"])
+def test_deep_resnet_forward(name):
+    """The deep resnet variants must actually RUN (registry membership and
+    h5 name-mapping were tested, the forward never was): BASELINE config 5
+    is a resnet50/101/152 sweep."""
+    _, out = _init_and_run(name, img=(64, 64))
+    n = A.num_anchors_for_shape((64, 64))
+    assert out["regression"].shape == (1, n, 12)
+    assert out["classification"].shape == (1, n, 8)
+    assert np.isfinite(np.asarray(out["classification"])).all()
