@@ -33,12 +33,18 @@ def parse_args(argv):
     p.add_argument("--num-classes", type=int, default=None,
                    help="default: inferred from the classification head "
                         "width of the loaded weights")
+    # filter flags default to None so an input .npz sidecar's serving
+    # config survives reconversion unless a flag is explicitly given
+    p.add_argument("--nms", dest="nms", action="store_true", default=None)
     p.add_argument("--no-nms", dest="nms", action="store_false")
     p.add_argument("--class-specific-filter", action="store_true",
-                   default=True)
+                   default=None)
     p.add_argument("--no-class-specific-filter", dest="class_specific_filter",
                    action="store_false")
-    p.add_argument("--orientation-specific-filter", action="store_true")
+    p.add_argument("--orientation-specific-filter", action="store_true",
+                   default=None)
+    p.add_argument("--no-orientation-specific-filter",
+                   dest="orientation_specific_filter", action="store_false")
     return p.parse_args(argv)
 
 
@@ -92,8 +98,11 @@ def main(argv=None):
     num_anchors = max(box_out_ch // 12, 1)
     inferred = (cls_out_ch // (num_anchors * 8)
                 if cls_out_ch % (num_anchors * 8) == 0 else None)
-    num_classes = args.num_classes or in_cfg.get("num_classes") or \
-        inferred or 1
+    # precedence: explicit flag > weights-inferred > (stale?) input
+    # sidecar — the weights are the truth, and a legacy sidecar carrying
+    # the old wrong default must not outrank them
+    num_classes = args.num_classes or inferred or \
+        in_cfg.get("num_classes") or 1
     if inferred is not None and num_classes != inferred:
         raise ValueError(
             f"--num-classes {num_classes} contradicts the loaded weights "
@@ -110,12 +119,22 @@ def main(argv=None):
         return
 
     export_params(args.model_out, variables)
+
+    def _flag(name, value, default):
+        # explicit CLI flag > input sidecar > canonical default
+        if value is not None:
+            return value
+        return bool(in_cfg.get(name, default))
+
     config = {
         "backbone": backbone,
         "num_classes": num_classes,
-        "nms": args.nms,
-        "class_specific_filter": args.class_specific_filter,
-        "orientation_specific_filter": args.orientation_specific_filter,
+        "nms": _flag("nms", args.nms, True),
+        "class_specific_filter": _flag(
+            "class_specific_filter", args.class_specific_filter, True),
+        "orientation_specific_filter": _flag(
+            "orientation_specific_filter",
+            args.orientation_specific_filter, False),
     }
     with open(args.model_out + ".json", "w") as f:
         json.dump(config, f, indent=2)

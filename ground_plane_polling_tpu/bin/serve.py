@@ -116,7 +116,9 @@ def main(argv=None):
         return detect_fns[shape]
 
     def load_item(stem):
-        for ext in (".png", ".jpg"):
+        # match the watcher's case-insensitive listing (0001.PNG must not
+        # be listed, missed here, and silently marked done)
+        for ext in (".png", ".jpg", ".PNG", ".JPG"):
             fp = os.path.join(args.image_dir, stem + ext)
             if os.path.exists(fp):
                 break

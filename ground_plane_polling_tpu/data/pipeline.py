@@ -247,8 +247,11 @@ class KittiLoader:
             scale = resize_scale(src_hw, self.min_side, self.max_side)
             padded = self._native.load_image(
                 self.ds.image_paths[idx], shape, scale)
-            true_hw = (min(int(round(src_hw[0] * scale)), shape[0]),
-                       min(int(round(src_hw[1] * scale)), shape[1]))
+            # int(x + 0.5), NOT round(): must match the native
+            # resize_into's dst size math (banker's rounding differs on
+            # exact halves, which would mask one real row/column)
+            true_hw = (min(int(src_hw[0] * scale + 0.5), shape[0]),
+                       min(int(src_hw[1] * scale + 0.5), shape[1]))
         else:
             image = self.ds.load_image(idx).astype(np.float32)
             scale = resize_scale(image.shape[:2], self.min_side,

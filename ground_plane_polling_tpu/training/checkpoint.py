@@ -107,16 +107,18 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 
 
 def prune_checkpoints(ckpt_dir: str, keep: int = 5) -> int:
-    """Delete all but the newest `keep` checkpoints; returns #removed."""
+    """Delete all but the newest `keep` checkpoints; returns #removed.
+
+    keep <= 0 disables pruning (keeps everything) — the safe reading for
+    a function that deletes training history; fit() passes this through
+    for keep_checkpoints=0."""
     import shutil
 
-    if not os.path.isdir(ckpt_dir):
+    if keep <= 0 or not os.path.isdir(ckpt_dir):
         return 0
     steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
-    keep = max(int(keep), 0)
-    doomed = steps[:-keep] if keep else steps   # keep=0 keeps nothing
     removed = 0
-    for d in doomed:
+    for d in steps[:-keep]:
         shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
         removed += 1
     return removed

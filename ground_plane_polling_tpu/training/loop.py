@@ -186,10 +186,8 @@ def fit(model, state: TrainState, train_step: Callable, train_loader,
     save is joined before the next snapshot and before fit() returns, so
     the returned state is always durably checkpointed.
     """
-    # prune_checkpoints(keep=0) deletes EVERYTHING incl. the snapshot just
-    # written (fit prunes around each save); a training loop must always
-    # retain at least the newest checkpoint
-    keep_checkpoints = max(int(keep_checkpoints), 1)
+    # keep_checkpoints <= 0 disables pruning (prune_checkpoints treats it
+    # the same way) — snapshots then accumulate unboundedly, by request
     lr_schedule = lr_schedule or ReduceLROnPlateau()
     saver = AsyncCheckpointSaver() if async_checkpoints else None
     log_f = open(log_path, "a") if log_path else None

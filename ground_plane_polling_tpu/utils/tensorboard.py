@@ -24,9 +24,11 @@ from __future__ import annotations
 import os
 import socket
 import struct
+import threading
 import time
 
 _FILE_COUNTER = 0
+_COUNTER_LOCK = threading.Lock()
 
 __all__ = ["TensorBoardWriter", "jsonl_to_tensorboard"]
 
@@ -113,9 +115,11 @@ class TensorBoardWriter:
         # the same second on one host must not append to the same file —
         # interleaved TFRecord writes corrupt it for TensorBoard
         global _FILE_COUNTER
-        _FILE_COUNTER += 1
+        with _COUNTER_LOCK:
+            _FILE_COUNTER += 1
+            counter = _FILE_COUNTER
         name = (f"events.out.tfevents.{int(time.time())}."
-                f"{socket.gethostname()}.{os.getpid()}.{_FILE_COUNTER}")
+                f"{socket.gethostname()}.{os.getpid()}.{counter}")
         self._f = open(os.path.join(logdir, name), "ab")
         self._write(_version_event(time.time()))
 

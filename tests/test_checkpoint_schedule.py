@@ -160,5 +160,7 @@ def test_prune_checkpoints_keep_zero(tmp_path):
     for s in (10, 20, 30):
         os.makedirs(os.path.join(d, f"step_{s:08d}"))
     assert prune_checkpoints(d, keep=2) == 1
-    assert prune_checkpoints(d, keep=0) == 2     # docstring: keep nothing
-    assert os.listdir(d) == []
+    # keep<=0 DISABLES pruning — never delete a run's whole history
+    assert prune_checkpoints(d, keep=0) == 0
+    assert prune_checkpoints(d, keep=-3) == 0
+    assert sorted(os.listdir(d)) == ["step_00000020", "step_00000030"]

@@ -361,3 +361,21 @@ def test_convert_model_sidecar_from_weights(tmp_path):
 
     with pytest.raises(ValueError, match="contradicts"):
         convert([src, str(tmp_path / "bad.npz"), "--num-classes", "3"])
+
+    # the serving-filter config survives reconversion too (a no-NMS
+    # export must not silently regain NMS from CLI defaults), and an
+    # explicit flag still wins; a STALE sidecar num_classes loses to the
+    # weights-inferred value
+    with open(src + ".json", "w") as f:
+        json.dump({"backbone": "tiny", "num_classes": 1,   # stale (is 2)
+                   "nms": False,
+                   "orientation_specific_filter": True}, f)
+    dst2 = str(tmp_path / "dst2.npz")
+    convert([src, dst2])
+    cfg2 = json.load(open(dst2 + ".json"))
+    assert cfg2["nms"] is False
+    assert cfg2["orientation_specific_filter"] is True
+    assert cfg2["num_classes"] == 2            # weights outrank sidecar
+    dst3 = str(tmp_path / "dst3.npz")
+    convert([src, dst3, "--nms"])
+    assert json.load(open(dst3 + ".json"))["nms"] is True
