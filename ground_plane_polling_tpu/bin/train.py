@@ -62,6 +62,11 @@ def parse_args(argv):
                         "--backbone-h5 with a pre-downloaded file")
     p.add_argument("--data-parallel", action="store_true",
                    help="Shard the batch over all visible devices.")
+    p.add_argument("--fused-prepare", action="store_true",
+                   help="fuse device-side augmentation + anchor-target "
+                        "assignment INTO the jitted train step (one device "
+                        "dispatch per step instead of two; numerically "
+                        "identical — see make_fused_train_step)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone blocks on backward "
                         "(jax.checkpoint): less HBM, ~1 extra forward")
@@ -100,7 +105,8 @@ def main(argv=None):
         train_ds, batch_size=args.batch_size,
         image_min_side=args.image_min_side,
         image_max_side=args.image_max_side,
-        augment=args.random_transform)
+        augment=args.random_transform,
+        raw_batches=args.fused_prepare)
     val_loader = None
     if not args.no_evaluation:
         val_ds = KittiDataset(args.kitti_path, "val")
@@ -142,9 +148,18 @@ def main(argv=None):
         state = restore_checkpoint(args.snapshot, state)
 
     eval_mesh = None
+    mesh = None
     if args.data_parallel and jax.device_count() > 1:
         mesh = data_parallel_mesh()
         eval_mesh = mesh
+    if args.fused_prepare:
+        from ..training.train import make_fused_train_step
+        step = make_fused_train_step(
+            model, tx, train_ds.num_classes,
+            augment=args.random_transform,
+            compat_height_only=args.compat_height_only_dim_loss,
+            mesh=mesh)
+    elif mesh is not None:
         raw_step = make_sharded_train_step(
             model, tx, mesh, compat_height_only=args.compat_height_only_dim_loss)
 

@@ -167,7 +167,8 @@ class KittiLoader:
                  max_ignore: int = 8, augment: bool = False,
                  augment_config: AugmentConfig = AugmentConfig(),
                  seed: int = 0, shuffle: bool = True,
-                 use_native_loader: bool = True):
+                 use_native_loader: bool = True,
+                 raw_batches: bool = False):
         self.ds = dataset
         self.batch_size = batch_size
         self.min_side = image_min_side
@@ -177,6 +178,7 @@ class KittiLoader:
         self.augment = augment
         self.augment_config = augment_config
         self.shuffle = shuffle
+        self.raw_batches = raw_batches
         self._rng = np.random.RandomState(seed)
         self._key = jax.random.PRNGKey(seed)
 
@@ -295,6 +297,14 @@ class KittiLoader:
         images, ga, gm, ia, im_, _, sizes = map(np.stack, zip(*items))
         valid = np.arange(len(indices)) < n_valid
         self._key, sub = jax.random.split(self._key)
+        if self.raw_batches:
+            # fused-prepare mode: ship the raw host arrays; the consumer's
+            # train step (training.train.make_fused_train_step) runs
+            # _device_prepare inside its own jitted program, so the whole
+            # step is ONE device dispatch instead of two
+            return {"key": sub, "images": images, "annotations": ga,
+                    "ann_mask": gm, "ignores": ia, "ignore_mask": im_,
+                    "valid": valid, "sizes": sizes}
         return _device_prepare(
             sub, images, ga, gm, ia, im_, valid, sizes,
             num_classes=self.ds.num_classes,

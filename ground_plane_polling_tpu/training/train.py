@@ -25,7 +25,8 @@ from ..parallel.mesh import batch_sharding, replicated_sharding
 from . import losses
 
 __all__ = ["TrainState", "clip_per_tensor_norm", "make_optimizer",
-           "create_train_state", "make_train_step", "make_sharded_train_step"]
+           "create_train_state", "make_train_step",
+           "make_sharded_train_step", "make_fused_train_step"]
 
 
 class TrainState(NamedTuple):
@@ -114,22 +115,29 @@ def compute_losses(model, params, frozen, batch,
                    "regression_dim": l_dim, "classification": l_cls}
 
 
+def _step_body(model, tx, state: TrainState, batch,
+               compat_height_only: bool):
+    """Shared loss+grad+update body for every train-step variant."""
+
+    def loss_fn(params):
+        return compute_losses(model, params, state.frozen, batch,
+                              compat_height_only)
+
+    grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    updates = jax.tree_util.tree_map(lambda u: -state.lr * u, updates)
+    params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(step=state.step + 1, params=params,
+                           frozen=state.frozen, opt_state=opt_state,
+                           lr=state.lr)
+    return new_state, metrics
+
+
 def make_train_step(model, tx, compat_height_only: bool = False):
     """Single-device / auto-sharded train step (jit once, reuse)."""
 
     def train_step(state: TrainState, batch):
-        def loss_fn(params):
-            return compute_losses(model, params, state.frozen, batch,
-                                  compat_height_only)
-
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree_util.tree_map(lambda u: -state.lr * u, updates)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=params,
-                               frozen=state.frozen, opt_state=opt_state,
-                               lr=state.lr)
-        return new_state, metrics
+        return _step_body(model, tx, state, batch, compat_height_only)
 
     return jax.jit(train_step, donate_argnums=(0,))
 
@@ -143,22 +151,64 @@ def make_sharded_train_step(model, tx, mesh,
     data = batch_sharding(mesh)
 
     def train_step(state: TrainState, batch):
-        def loss_fn(params):
-            return compute_losses(model, params, state.frozen, batch,
-                                  compat_height_only)
-
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree_util.tree_map(lambda u: -state.lr * u, updates)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=params,
-                               frozen=state.frozen, opt_state=opt_state,
-                               lr=state.lr)
-        return new_state, metrics
+        return _step_body(model, tx, state, batch, compat_height_only)
 
     return jax.jit(
         train_step,
         in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_fused_train_step(model, tx, num_classes: int,
+                          augment: bool = True, augment_config=None,
+                          compat_height_only: bool = False, mesh=None):
+    """ONE jitted dispatch per step: device-side augmentation + anchor-
+    target assignment (data.pipeline._device_prepare) fused INTO the
+    forward/backward program.
+
+    The two-stage path dispatches two device programs per step — the
+    producer thread's _device_prepare and then the train step — which on
+    a relay-attached chip costs two RPC round-trips and an intermediate
+    f32 target buffer parked in HBM between them. Fused, the loader
+    (KittiLoader(raw_batches=True)) ships the raw uint8 canvas + padded
+    annotation arrays and XLA schedules upload, augmentation, target
+    assignment, and the step as one program. Numerically identical to
+    prepare-then-step (same PRNG key path; pinned by
+    tests/test_train_step.py::test_fused_prepare_matches_two_stage).
+
+    Raw batch keys (KittiLoader._make_batch raw layout): key, images,
+    annotations, ann_mask, ignores, ignore_mask, valid, sizes.
+
+    With `mesh`, the batch axis is sharded over 'data' like
+    make_sharded_train_step (the per-example augmentation keys are
+    derived from the replicated `key` inside the program).
+    """
+    from ..data.augment import AugmentConfig
+    from ..data.pipeline import _device_prepare
+    if augment_config is None:
+        augment_config = AugmentConfig()
+
+    def train_step(state: TrainState, raw):
+        batch = _device_prepare(
+            raw["key"], raw["images"], raw["annotations"],
+            raw["ann_mask"], raw["ignores"], raw["ignore_mask"],
+            raw["valid"], raw["sizes"], num_classes=num_classes,
+            do_augment=augment, config=augment_config,
+            image_shape=tuple(raw["images"].shape[1:3]))
+        return _step_body(model, tx, state, batch, compat_height_only)
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    raw_shardings = {"key": repl, "images": data, "annotations": data,
+                     "ann_mask": data, "ignores": data,
+                     "ignore_mask": data, "valid": data, "sizes": data}
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, raw_shardings),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )

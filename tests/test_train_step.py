@@ -178,3 +178,52 @@ def test_remat_gradients_match():
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_fused_prepare_matches_two_stage(tmp_path):
+    """make_fused_train_step (augment+targets fused into the step, one
+    device dispatch) must match prepare-then-step exactly: same loader
+    seed -> same PRNG key path -> identical batches -> identical update."""
+    import optax
+
+    from ground_plane_polling_tpu.data.kitti import KittiDataset
+    from ground_plane_polling_tpu.data.pipeline import KittiLoader
+    from ground_plane_polling_tpu.training.train import make_fused_train_step
+
+    from .fixtures import make_synthetic_kitti
+
+    root = make_synthetic_kitti(str(tmp_path / "kitti"))
+    ds = KittiDataset(root, "train")
+    mk = dict(batch_size=2, image_min_side=48, image_max_side=128,
+              augment=True, shuffle=False)
+    l_two = KittiLoader(ds, **mk)
+    l_raw = KittiLoader(ds, raw_batches=True, **mk)
+    shape = l_two.image_shape
+
+    tx = optax.identity()
+
+    def fresh_state():
+        variables = build_detector("tiny").init(
+            jax.random.PRNGKey(0), jnp.zeros((1, *shape, 3), jnp.float32))
+        return create_train_state(variables, tx, learning_rate=1e-3)
+
+    s_two = fresh_state()
+    s_raw = fresh_state()
+    step_two = make_train_step(model=build_detector("tiny"), tx=tx)
+    step_raw = make_fused_train_step(build_detector("tiny"), tx,
+                                     ds.num_classes, augment=True)
+
+    n = 0
+    for b_two, b_raw in zip(l_two.epoch(prefetch=0), l_raw.epoch(prefetch=0)):
+        assert isinstance(b_raw, dict) and "images" in b_raw
+        assert b_raw["images"].dtype == np.uint8
+        s_two, m_two = step_two(s_two, b_two)
+        s_raw, m_raw = step_raw(s_raw, b_raw)
+        np.testing.assert_allclose(float(m_two["loss"]),
+                                   float(m_raw["loss"]), rtol=1e-5)
+        n += 1
+    assert n >= 1
+    for a, b in zip(jax.tree_util.tree_leaves(s_two.params),
+                    jax.tree_util.tree_leaves(s_raw.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
