@@ -62,11 +62,15 @@ def parse_args(argv):
                         "--backbone-h5 with a pre-downloaded file")
     p.add_argument("--data-parallel", action="store_true",
                    help="Shard the batch over all visible devices.")
-    p.add_argument("--fused-prepare", action="store_true",
+    p.add_argument("--fused-prepare", default=True,
+                   action=argparse.BooleanOptionalAction,
                    help="fuse device-side augmentation + anchor-target "
                         "assignment INTO the jitted train step (one device "
                         "dispatch per step instead of two; numerically "
-                        "identical — see make_fused_train_step)")
+                        "identical and phase-robust on the relay — "
+                        "tools/profile_train_wall.py A/B). "
+                        "--no-fused-prepare restores the two-stage "
+                        "producer-thread prepare")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone blocks on backward "
                         "(jax.checkpoint): less HBM, ~1 extra forward")

@@ -206,7 +206,10 @@ def fit(model, state: TrainState, train_step: Callable, train_loader,
                 record["epoch"])
             tb_writer.flush()
         if verbose:
-            printable = {k: (round(v, 5) if isinstance(v, float) else v)
+            # 6 significant digits, not fixed decimals: round(1e-6, 5)
+            # prints a reduced LR as a misleading 0.0
+            printable = {k: (float(f"{v:.6g}") if isinstance(v, float)
+                             else v)
                          for k, v in record.items()}
             print(printable, flush=True)
 

@@ -116,20 +116,23 @@ def main():
     timed("C  train_step dispatch+sync (prepared batch)", run_step, steps)
 
     # D. the real pipelined loop
-    it = iter(loader.epoch())
-    first = next(it)  # producer warm
     st2 = [st[0]]
-    st2[0], m = step(st2[0], first)
-    float(m["loss"])
-    t0 = time.perf_counter()
-    n = 0
-    for batch in it:
-        st2[0], m = step(st2[0], batch)
-        n += 1
-        if n >= steps:
-            break
-    float(m["loss"])
-    dt = (time.perf_counter() - t0) / n
+
+    def real_loop(mk_loader, step_fn, state0):
+        it = iter(mk_loader.epoch())
+        state0, m = step_fn(state0, next(it))  # producer + compile warm
+        float(m["loss"])
+        t0 = time.perf_counter()
+        n = 0
+        for batch in it:
+            state0, m = step_fn(state0, batch)
+            n += 1
+            if n >= steps:
+                break
+        float(m["loss"])
+        return (time.perf_counter() - t0) / n, state0
+
+    dt, st2[0] = real_loop(loader, step, st2[0])
     print(f"{'D  REAL loop (loader.epoch + train_step)':58s} "
           f"{dt * 1e3:8.1f} ms/step")
 
@@ -146,7 +149,31 @@ def main():
         st3[0], m = fused(key, st3[0], images, ga, gm, ia, im_, valid,
                           sizes)
         float(m["loss"])
-    timed("E  FUSED prepare+train one dispatch", run_fused, steps)
+    timed("E  FUSED prepare+train one dispatch (sync/step)", run_fused,
+          steps)
+
+    # F. fused in the REAL loop shape: raw-batch loader (host decode on
+    # the producer thread), fused dispatches chained by state donation,
+    # one sync at the end — directly comparable to D
+    raw_loader = KittiLoader(ds, batch_size=BATCH, augment=True,
+                             shuffle=False, raw_batches=True,
+                             image_min_side=MIN_SIDE,
+                             image_max_side=MAX_SIDE)
+    from ground_plane_polling_tpu.training.train import make_fused_train_step
+    fused_step = make_fused_train_step(model, tx, ds.num_classes,
+                                       augment=True)
+    st4 = [st3[0]]
+    dt, st4[0] = real_loop(raw_loader, fused_step, st4[0])
+    print(f"{'F  REAL loop FUSED (raw loader + fused step)':58s} "
+          f"{dt * 1e3:8.1f} ms/step")
+
+    # phase-fair A/B: alternate D and F a few more times (relay throughput
+    # is bimodal on minute scales; back-to-back singles can lie)
+    for r in range(3):
+        dt_d, st2[0] = real_loop(loader, step, st2[0])
+        dt_f, st4[0] = real_loop(raw_loader, fused_step, st4[0])
+        print(f"{'   A/B round %d: two-stage vs fused' % r:58s} "
+              f"{dt_d * 1e3:8.1f} vs {dt_f * 1e3:.1f} ms/step")
 
 
 if __name__ == "__main__":
