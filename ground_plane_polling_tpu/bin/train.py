@@ -159,8 +159,7 @@ def main(argv=None):
     if args.fused_prepare:
         from ..training.train import make_fused_train_step
         step = make_fused_train_step(
-            model, tx, train_ds.num_classes,
-            augment=args.random_transform,
+            model, tx, loader=train_loader,
             compat_height_only=args.compat_height_only_dim_loss,
             mesh=mesh)
     elif mesh is not None:

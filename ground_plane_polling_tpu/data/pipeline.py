@@ -291,12 +291,11 @@ class KittiLoader:
         return padded, ga, gm, ia, im_, scale, np.asarray(true_hw,
                                                           np.float32)
 
-    def _make_batch(self, group):
+    def _make_batch(self, group, sub):
         indices, n_valid = group
         items = [self._load_padded(i) for i in indices]
         images, ga, gm, ia, im_, _, sizes = map(np.stack, zip(*items))
         valid = np.arange(len(indices)) < n_valid
-        self._key, sub = jax.random.split(self._key)
         if self.raw_batches:
             # fused-prepare mode: ship the raw host arrays; the consumer's
             # train step (training.train.make_fused_train_step) runs
@@ -324,10 +323,21 @@ class KittiLoader:
         groups = list(self._groups)
         if self.shuffle:
             self._rng.shuffle(groups)
+        if not groups:
+            return
+
+        # ONE key derivation per epoch, pulled to host: a per-batch
+        # jax.random.split in the producer is an eager op on the default
+        # device — on a relay-attached chip that is an extra RPC racing
+        # the train step every batch (it defeated fused-prepare's
+        # one-dispatch-per-step goal)
+        self._key, epoch_key = jax.random.split(self._key)
+        subs = np.asarray(jax.device_get(
+            jax.random.split(epoch_key, len(groups))))
 
         if prefetch <= 0:
-            for group in groups:
-                yield self._make_batch(group)
+            for group, sub in zip(groups, subs):
+                yield self._make_batch(group, sub)
             return
 
         import queue
@@ -351,10 +361,10 @@ class KittiLoader:
 
         def producer():
             try:
-                for group in groups:
+                for group, sub in zip(groups, subs):
                     if cancelled.is_set():
                         return
-                    if not _put(self._make_batch(group)):
+                    if not _put(self._make_batch(group, sub)):
                         return
             except BaseException as e:  # noqa: BLE001 — re-raised below
                 # a swallowed producer error would silently truncate the

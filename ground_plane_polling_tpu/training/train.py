@@ -161,9 +161,10 @@ def make_sharded_train_step(model, tx, mesh,
     )
 
 
-def make_fused_train_step(model, tx, num_classes: int,
+def make_fused_train_step(model, tx, num_classes: Optional[int] = None,
                           augment: bool = True, augment_config=None,
-                          compat_height_only: bool = False, mesh=None):
+                          compat_height_only: bool = False, mesh=None,
+                          loader=None):
     """ONE jitted dispatch per step: device-side augmentation + anchor-
     target assignment (data.pipeline._device_prepare) fused INTO the
     forward/backward program.
@@ -187,6 +188,22 @@ def make_fused_train_step(model, tx, num_classes: int,
     """
     from ..data.augment import AugmentConfig
     from ..data.pipeline import _device_prepare
+    if loader is not None:
+        # derive the prepare config from the loader feeding this step —
+        # passing both independently lets augment/augment_config/
+        # num_classes silently disagree with what the loader would have
+        # used in two-stage mode
+        if not loader.raw_batches:
+            raise ValueError(
+                "make_fused_train_step(loader=...) needs "
+                "KittiLoader(raw_batches=True); this loader would yield "
+                "already-prepared batches")
+        num_classes = loader.ds.num_classes
+        augment = loader.augment
+        augment_config = loader.augment_config
+    if num_classes is None:
+        raise ValueError("pass num_classes (or loader=) to "
+                         "make_fused_train_step")
     if augment_config is None:
         augment_config = AugmentConfig()
 
