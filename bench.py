@@ -15,7 +15,9 @@ Batch-1 throughput through the relay is BIMODAL with relay phase (~135 vs
 ~165 img/s envelope, config-independent; docs/PERFORMANCE.md session G), so
 a back-to-back best-of-3 samples whichever phase the relay happens to be
 in. The headline instead spreads differenced estimates across a
-GPP_BENCH_WINDOW_SECS window (default 150 s, ~10 s apart) and reports the
+GPP_BENCH_WINDOW_SECS window (default 300 s — relay phases flip on minute
+scales, and a 150 s window measurably sampled only a degraded band on some
+runs; ~10 s apart) and reports the
 fastest — the clear-path envelope, which tracks the device's actual
 throughput rather than the relay's mood.
 
@@ -74,7 +76,7 @@ except ValueError:
 if not 0 < N1 < N2:
     raise SystemExit(f"GPP_BENCH_PAIR needs 0 < N1 < N2, got {N1},{N2}")
 MIN_ESTIMATES = int(os.environ.get("GPP_BENCH_REPEATS", 3))
-WINDOW_SECS = float(os.environ.get("GPP_BENCH_WINDOW_SECS", 150))
+WINDOW_SECS = float(os.environ.get("GPP_BENCH_WINDOW_SECS", 300))
 B4_WINDOW_SECS = float(os.environ.get("GPP_BENCH_B4_WINDOW_SECS", 60))
 FUSE = os.environ.get("GPP_BENCH_FUSE", "0") == "1"
 TOP_K = int(os.environ.get("GPP_BENCH_TOPK", 1024))
