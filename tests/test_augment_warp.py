@@ -97,3 +97,59 @@ def test_compose_transform_matches_reference(seed, hw):
     got = np.asarray(compose_transform(angle, tx, shear_angle, scale,
                                        flip_x, flip_y, hw))
     np.testing.assert_allclose(got, ref_m, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_transform_annotations_matches_reference_aabb(seed):
+    """transform_annotations / transform_boxes == the reference's own
+    transform_aabb / transform_aabb_old (utils/transform.py:27-104) on
+    random affine transforms, including the x-flip branch that swaps the
+    l/r keypoints and remaps the orientation class (0<->1, 2<->3)."""
+    import sys
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    ref_tf = pytest.importorskip("keras_retinanet_3D.utils.transform")
+
+    from ground_plane_polling_tpu.data.augment import (transform_annotations,
+                                                       transform_boxes)
+
+    rng = np.random.RandomState(seed)
+    flip_x = bool(seed % 2)  # cover both branches deterministically
+    m = np.linalg.multi_dot([
+        ref_tf.rotation(rng.uniform(-0.4, 0.4)),
+        ref_tf.translation(rng.uniform(-20, 20, 2)),
+        ref_tf.shear(rng.uniform(-0.3, 0.3)),
+        ref_tf.scaling(rng.uniform(0.7, 1.3, 2)),
+        ref_tf.scaling(((-1.0 if flip_x else 1.0), 1.0)),
+    ]).astype(np.float32)
+    assert (m[0, 0] < 0) == flip_x  # the reference's flip detection rule
+
+    anns = np.zeros((5, 17), np.float32)
+    for g in range(5):
+        x1, y1 = rng.uniform(0, 300, 2)
+        anns[g, :4] = [x1, y1, x1 + rng.uniform(10, 200),
+                       y1 + rng.uniform(10, 150)]
+        anns[g, 4:12] = rng.uniform(0, 400, 8)
+        anns[g, 12:15] = rng.uniform(1, 5, 3)
+        anns[g, 15] = rng.randint(0, 2)
+        anns[g, 16] = g % 4  # one row per orientation class + a repeat
+
+    got = np.asarray(transform_annotations(m, flip_x, anns))
+    for g in range(5):
+        ref_row = ref_tf.transform_aabb(
+            m, list(anns[g, :12]) + [int(anns[g, 16])])
+        np.testing.assert_allclose(got[g, :12], ref_row[:12],
+                                   rtol=1e-5, atol=1e-3)
+        assert int(got[g, 16]) == int(ref_row[12])
+        np.testing.assert_allclose(got[g, 12:16], anns[g, 12:16])
+
+    boxes = np.zeros((3, 4), np.float32)
+    for g in range(3):
+        x1, y1 = rng.uniform(0, 300, 2)
+        boxes[g] = [x1, y1, x1 + rng.uniform(10, 200),
+                    y1 + rng.uniform(10, 150)]
+    got_b = np.asarray(transform_boxes(m, boxes))
+    for g in range(3):
+        ref_b = ref_tf.transform_aabb_old(m, list(boxes[g]))
+        np.testing.assert_allclose(got_b[g], ref_b, rtol=1e-5, atol=1e-3)
