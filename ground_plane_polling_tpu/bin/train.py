@@ -94,7 +94,7 @@ def main(argv=None):
     from ..data.kitti import KittiDataset
     from ..data.pipeline import KittiLoader
     from ..models import build_detector
-    from ..parallel import data_parallel_mesh, initialize, shard_batch
+    from ..parallel import data_parallel_mesh, initialize
     from ..training.checkpoint import (import_params, latest_checkpoint,
                                        restore_checkpoint)
 
@@ -158,16 +158,27 @@ def main(argv=None):
         eval_mesh = mesh
     if args.fused_prepare:
         from ..training.train import make_fused_train_step
-        step = make_fused_train_step(
+        fused_step = make_fused_train_step(
             model, tx, loader=train_loader,
             compat_height_only=args.compat_height_only_dim_loss,
             mesh=mesh)
+        if mesh is None:
+            step = fused_step
+        else:
+            from ..parallel import make_global_raw_batch
+
+            def step(state, raw):
+                return fused_step(state, make_global_raw_batch(mesh, raw))
     elif mesh is not None:
+        from ..parallel import make_global_batch
         raw_step = make_sharded_train_step(
             model, tx, mesh, compat_height_only=args.compat_height_only_dim_loss)
 
         def step(state, batch):
-            return raw_step(state, shard_batch(mesh, batch))
+            # make_global_batch (not shard_batch): identical single-process,
+            # and correct when jax.distributed spans multiple hosts (each
+            # host contributes its local_batch_slice rows)
+            return raw_step(state, make_global_batch(mesh, batch))
     else:
         step = make_train_step(
             model, tx, compat_height_only=args.compat_height_only_dim_loss)

@@ -5,4 +5,5 @@ from .mesh import (
     shard_batch,
 )
 from .distributed import (initialize, is_multi_host, local_batch_slice,
-                          make_global_batch)
+                          make_global_batch, make_global_raw_batch,
+                          make_replicated)

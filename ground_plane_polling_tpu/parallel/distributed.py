@@ -18,7 +18,7 @@ from typing import Optional
 import jax
 
 __all__ = ["initialize", "is_multi_host", "local_batch_slice",
-           "make_global_batch"]
+           "make_global_batch", "make_replicated", "make_global_raw_batch"]
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -87,3 +87,29 @@ def make_global_batch(mesh, batch):
             sharding, x[start:start + size], x.shape)
 
     return jax.tree_util.tree_map(place, batch)
+
+
+def make_replicated(mesh, x):
+    """Place one array replicated over every device of `mesh`, multi-host
+    correct (every process passes the same full array)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    import numpy as np
+
+    x = np.asarray(x)
+    return jax.make_array_from_process_local_data(sharding, x, x.shape)
+
+
+def make_global_raw_batch(mesh, raw):
+    """Global placement for a fused-prepare raw batch
+    (KittiLoader(raw_batches=True) layout): every array leaf is
+    batch-sharded over 'data' except the PRNG `key`, which is replicated
+    — matching make_fused_train_step(mesh=...)'s in_shardings."""
+    key = raw["key"]
+    placed = make_global_batch(mesh, {k: v for k, v in raw.items()
+                                      if k != "key"})
+    placed["key"] = make_replicated(mesh, key)
+    return placed

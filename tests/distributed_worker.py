@@ -63,6 +63,24 @@ def main():
     print(f"process {jax.process_index()}: step {int(state.step)} "
           f"loss {loss:.6f}", flush=True)
 
+    # fused prepare+train across both hosts (gpp-tpu-train's default):
+    # raw uint8 batch globally sharded, PRNG key replicated
+    from ground_plane_polling_tpu.parallel import make_global_raw_batch
+    from ground_plane_polling_tpu.training.train import make_fused_train_step
+    from tests.test_train_step import _tiny_raw_batch
+
+    fused = make_fused_train_step(model, tx, num_classes=1, augment=True,
+                                  mesh=mesh)
+    fused_state = create_train_state(
+        model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, *IMG, 3), jnp.float32)),
+        tx, learning_rate=1e-3)
+    fused_state, fm = fused(
+        fused_state, make_global_raw_batch(mesh, _tiny_raw_batch(batch=8)))
+    fused_loss = float(fm["loss"])
+    print(f"process {jax.process_index()}: fused loss {fused_loss:.6f}",
+          flush=True)
+
     if jax.process_index() == 0:
         out = os.environ["GPP_DIST_OUT"]
         flat = {}
@@ -70,7 +88,11 @@ def main():
                 state.params)[0]:
             key = jax.tree_util.keystr(path)
             flat[key] = np.asarray(leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+                fused_state.params)[0]:
+            flat["fused::" + jax.tree_util.keystr(path)] = np.asarray(leaf)
         flat["__loss__"] = np.float32(loss)
+        flat["__fused_loss__"] = np.float32(fused_loss)
         np.savez(out, **flat)
         print(f"process 0: wrote {out}", flush=True)
 

@@ -98,10 +98,36 @@ def test_two_process_dp_matches_single_process(tmp_path):
     np.testing.assert_allclose(float(metrics["loss"]),
                                float(dist["__loss__"]), rtol=1e-5)
     leaves = jax.tree_util.tree_flatten_with_path(state.params)[0]
-    assert len(leaves) == len([k for k in dist.files if k != "__loss__"])
+    special = [k for k in dist.files
+               if k.startswith("fused::") or k.startswith("__")]
+    assert len(leaves) == len(dist.files) - len(special)
     for path, leaf in leaves:
         key = jax.tree_util.keystr(path)
         np.testing.assert_allclose(
             np.asarray(leaf), dist[key], rtol=1e-5, atol=5e-7,
             err_msg=f"param {key} diverged between 1-proc and 2-proc runs")
+
+    # fused prepare+train (the train CLI default): single-process 8-device
+    # mesh must match the 2-process run on the same raw batch + key
+    from ground_plane_polling_tpu.parallel import make_global_raw_batch
+    from ground_plane_polling_tpu.training.train import make_fused_train_step
+    from tests.test_train_step import _tiny_raw_batch
+
+    fused = make_fused_train_step(model, tx, num_classes=1, augment=True,
+                                  mesh=mesh)
+    fused_state = create_train_state(
+        model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, *IMG, 3), jnp.float32)),
+        tx, learning_rate=1e-3)
+    fused_state, fm = fused(
+        fused_state, make_global_raw_batch(mesh, _tiny_raw_batch(batch=8)))
+    np.testing.assert_allclose(float(fm["loss"]),
+                               float(dist["__fused_loss__"]), rtol=1e-5)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            fused_state.params)[0]:
+        key = "fused::" + jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(leaf), dist[key], rtol=1e-5, atol=5e-7,
+            err_msg=f"fused param {key} diverged between 1-proc and "
+                    f"2-proc runs")
 

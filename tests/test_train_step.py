@@ -32,6 +32,27 @@ def _tiny_batch(batch=1):
     return b
 
 
+def _tiny_raw_batch(batch=1):
+    """Raw-layout batch (KittiLoader raw_batches=True) for the fused step."""
+    rng = np.random.RandomState(0)
+    n_ann, n_ign = 4, 2
+    raw = {
+        "key": np.asarray(jax.random.PRNGKey(3)),
+        "images": rng.randint(0, 256, (batch, *IMG, 3)).astype(np.uint8),
+        "annotations": np.zeros((batch, n_ann, 17), np.float32),
+        "ann_mask": np.zeros((batch, n_ann), bool),
+        "ignores": np.zeros((batch, n_ign, 4), np.float32),
+        "ignore_mask": np.zeros((batch, n_ign), bool),
+        "valid": np.ones((batch,), bool),
+        "sizes": np.tile(np.asarray(IMG, np.float32), (batch, 1)),
+    }
+    raw["annotations"][:, 0, :4] = [8.0, 8.0, 40.0, 40.0]
+    raw["annotations"][:, 0, 4:12] = [8, 40, 24, 40, 40, 40, 24, 8]
+    raw["annotations"][:, 0, 12:15] = [1.5, 1.7, 4.2]
+    raw["ann_mask"][:, 0] = True
+    return raw
+
+
 def test_loss_decreases_over_steps():
     model = build_detector("tiny")
     variables = model.init(jax.random.PRNGKey(0),
