@@ -379,3 +379,36 @@ def test_convert_model_sidecar_from_weights(tmp_path):
     dst3 = str(tmp_path / "dst3.npz")
     convert([src, dst3, "--nms"])
     assert json.load(open(dst3 + ".json"))["nms"] is True
+
+
+@pytest.mark.slow
+def test_train_cli_data_parallel_fused(kitti_root, tmp_path):
+    """bin.train --data-parallel on the 8-device CPU mesh, with the fused
+    default: exercises the CLI's make_global_raw_batch placement + the
+    sharded fused step end-to-end (the library-level equivalents are
+    covered by dryrun_multichip and test_distributed)."""
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU env (conftest)")
+    from ground_plane_polling_tpu.bin.train import main
+
+    out = tmp_path / "dp_out"
+    out.mkdir()
+    state = main([
+        "--backbone", "tiny",
+        "--batch-size", str(jax.device_count()),
+        "--epochs", "1",
+        "--steps", "2",
+        "--image-min-side", "96",
+        "--image-max-side", "320",
+        "--data-parallel",
+        "--no-evaluation",
+        "--snapshot-path", str(out / "snapshots"),
+        "--log-path", str(out / "log.jsonl"),
+        "--random-transform",
+        "kitti", kitti_root,
+    ])
+    assert int(state.step) == 2
+    records = [json.loads(l) for l in open(out / "log.jsonl")]
+    assert np.isfinite(records[-1]["loss"])
