@@ -40,6 +40,17 @@ def main():
         "regression_dim": jnp.zeros((BATCH, n, 4), jnp.float32),
     }
 
+    # XLA's own FLOP count for the whole compiled fwd+bwd+update program
+    step_flops = None
+    try:
+        compiled = step.lower(state, batch).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        step_flops = float(analysis["flops"])
+    except Exception:
+        pass
+
     state, m = step(state, batch)  # compile
     float(m["loss"])  # host fetch (block_until_ready lies on this relay)
     t0 = time.perf_counter()
@@ -48,8 +59,14 @@ def main():
     final = float(m["loss"])  # forces the whole donated-state chain
     assert np.isfinite(final)
     dt = (time.perf_counter() - t0) / STEPS
-    print(f"train step: {dt*1e3:.1f} ms -> {BATCH/dt:.2f} images/sec "
-          f"(batch {BATCH}, {IMAGE_SHAPE})")
+    line = (f"train step: {dt*1e3:.1f} ms -> {BATCH/dt:.2f} images/sec "
+            f"(batch {BATCH}, {IMAGE_SHAPE})")
+    if step_flops:
+        tflops = step_flops / dt / 1e12
+        # 184 TFLOP/s = the calibrated bf16 matmul ceiling on this chip
+        # (docs/PERFORMANCE.md "device calibration")
+        line += f"  | {tflops:.1f} TFLOP/s, MFU {100*tflops/184.0:.1f}%"
+    print(line)
 
 
 if __name__ == "__main__":
