@@ -162,7 +162,8 @@ def make_sharded_train_step(model, tx, mesh,
 
 
 def make_fused_train_step(model, tx, num_classes: Optional[int] = None,
-                          augment: bool = True, augment_config=None,
+                          augment: Optional[bool] = None,
+                          augment_config=None,
                           compat_height_only: bool = False, mesh=None,
                           loader=None):
     """ONE jitted dispatch per step: device-side augmentation + anchor-
@@ -192,18 +193,27 @@ def make_fused_train_step(model, tx, num_classes: Optional[int] = None,
         # derive the prepare config from the loader feeding this step —
         # passing both independently lets augment/augment_config/
         # num_classes silently disagree with what the loader would have
-        # used in two-stage mode
+        # used in two-stage mode. Explicit args alongside loader= are
+        # rejected rather than silently overwritten.
         if not loader.raw_batches:
             raise ValueError(
                 "make_fused_train_step(loader=...) needs "
                 "KittiLoader(raw_batches=True); this loader would yield "
                 "already-prepared batches")
+        if (num_classes is not None or augment is not None
+                or augment_config is not None):
+            raise ValueError(
+                "make_fused_train_step: pass EITHER loader= (config "
+                "derived from it) OR explicit num_classes/augment/"
+                "augment_config — not both")
         num_classes = loader.ds.num_classes
         augment = loader.augment
         augment_config = loader.augment_config
     if num_classes is None:
         raise ValueError("pass num_classes (or loader=) to "
                          "make_fused_train_step")
+    if augment is None:
+        augment = True
     if augment_config is None:
         augment_config = AugmentConfig()
 

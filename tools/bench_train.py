@@ -40,7 +40,13 @@ def main():
         "regression_dim": jnp.zeros((BATCH, n, 4), jnp.float32),
     }
 
-    # XLA's own FLOP count for the whole compiled fwd+bwd+update program
+    state, m = step(state, batch)  # compile
+    float(m["loss"])  # host fetch (block_until_ready lies on this relay)
+
+    # XLA's own FLOP count for the whole compiled fwd+bwd+update program.
+    # AFTER the warm call: the AOT lower().compile() here then deserializes
+    # from the persistent cache instead of doing a second cold remote
+    # compile (the jit cache and AOT path don't share executables).
     step_flops = None
     try:
         compiled = step.lower(state, batch).compile()
@@ -50,9 +56,6 @@ def main():
         step_flops = float(analysis["flops"])
     except Exception:
         pass
-
-    state, m = step(state, batch)  # compile
-    float(m["loss"])  # host fetch (block_until_ready lies on this relay)
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, m = step(state, batch)

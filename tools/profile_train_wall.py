@@ -77,7 +77,9 @@ def main():
     group = groups[0]
     items = [loader._load_padded(i) for i in group[0]]
     images, ga, gm, ia, im_, _, sizes = map(np.stack, zip(*items))
-    valid = np.ones((BATCH,), bool)
+    # the group's real padding mask — all-True would make B/C/E measure a
+    # different program than the real loops decompose
+    valid = np.arange(len(group[0])) < group[1]
     key = jax.random.PRNGKey(0)
 
     prep_kwargs = dict(num_classes=ds.num_classes, do_augment=True,
@@ -130,6 +132,13 @@ def main():
             if n >= steps:
                 break
         float(m["loss"])
+        if n == 0:
+            raise SystemExit(
+                "dataset's dominant bucket yields a single batch per "
+                "epoch — nothing left to time after warm-up; use a "
+                "larger dataset or smaller GPP_BENCH_BATCH")
+        if n < steps:
+            print(f"   (real-loop average over {n} steps, epoch exhausted)")
         return (time.perf_counter() - t0) / n, state0
 
     dt, st2[0] = real_loop(loader, step, st2[0])
