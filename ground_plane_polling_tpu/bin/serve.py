@@ -145,11 +145,11 @@ def main(argv=None):
             np.stack([it["P_inv"] for it in items]),
             np.tile(planes[None].astype(np.float32),
                     (args.batch_size, 1, 1)))
-        return n, items, out
+        return n, items, out, time.time()
 
     def finalize_batch(pending):
         """Fetch a dispatched batch to the host and write its outputs."""
-        n, items, out = pending
+        n, items, out, t_disp = pending
         out = {k: np.asarray(v) for k, v in out._asdict().items()}
         for j in range(n):
             it = items[j]
@@ -163,10 +163,15 @@ def main(argv=None):
                 out["locations"][j][keep], out["angles"][j][keep],
                 out["pose_dims"][j][keep], it["image_hw"],
                 class_name=names)
+        # dispatch -> outputs-on-disk latency for this batch (includes the
+        # overlap window: with the 1-deep pipeline the fetch waits behind
+        # the next batch's dispatch, which is what a consumer experiences)
+        latencies.append(time.time() - t_disp)
         return n
 
     done = set()
     fail_counts: dict = {}
+    latencies: list = []
     total = 0
     t_start = time.time()
     while True:
@@ -228,8 +233,14 @@ def main(argv=None):
         if args.once and not args.poll_interval:
             break
     if total:
-        print(f"done: {total} images in {time.time() - t_start:.2f}s",
-              flush=True)
+        line = f"done: {total} images in {time.time() - t_start:.2f}s"
+        if latencies:
+            lat = np.sort(np.asarray(latencies))
+            p50 = lat[len(lat) // 2]
+            p95 = lat[min(len(lat) - 1, int(np.ceil(0.95 * len(lat))) - 1)]
+            line += (f"; batch latency p50 {p50*1e3:.0f} ms / "
+                     f"p95 {p95*1e3:.0f} ms (n={len(lat)})")
+        print(line, flush=True)
     return total
 
 
