@@ -132,7 +132,15 @@ def solve_pose(keypoints, orientations, dimensions):
     locations = (X_m + X_sel) / 2.0 + s_l[..., None] * z_dir * w[..., None] / 2.0
 
     R = jnp.stack([x_dir, y_dir, z_dir], axis=-1)  # columns are the axes
-    angles = rodrigues_from_matrix(R)
+    # With noisy polled keypoints x_dir and y_dir are not exactly
+    # orthogonal, so R is only near-rotation. cv2.Rodrigues (which the
+    # reference feeds this same frame, run_network.py:166 etc.) resolves
+    # that by projecting to the NEAREST rotation, U @ Vt of the SVD —
+    # verified to machine precision in tests/test_pose_golden.py. Match it.
+    # det(R) = |x x y|^2 >= 0 by construction, so the reflection branch of
+    # the polar projection can't arise.
+    U, _, Vt = jnp.linalg.svd(R)
+    angles = rodrigues_from_matrix(U @ Vt)
     return PoseResult(locations=locations, angles=angles, dimensions=dims_out)
 
 
