@@ -109,6 +109,29 @@ def ref():
 
     ref_init.PriorProbability.__call__ = _prior_call
 
+    # tf_keras's K.ones opens a tf.init_scope, which escapes map_fn's
+    # FuncGraph and lands the fill constant in the OUTER graph (a TF2
+    # behavior change vs keras 2.2) — the reference's FilterDetections
+    # layer calls K.ones inside its map_fn body
+    # (filter_detections.py:94,96,114,133) and dies with a cross-graph
+    # ValueError. Give that module a keras proxy whose backend.ones is
+    # plain graph-scoped tf.ones; everything else passes through.
+    class _ScopedBackend:
+        def __getattr__(self, name):
+            return getattr(tf_keras.backend, name)
+
+        @staticmethod
+        def ones(shape, dtype=None, name=None):
+            return tf.ones(shape, dtype=dtype or "float32", name=name)
+
+    class _ScopedKeras:
+        backend = _ScopedBackend()
+
+        def __getattr__(self, name):
+            return getattr(tf_keras, name)
+
+    ref_fd.keras = _ScopedKeras()
+
     class Ref:
         backend = ref_backend
         common = ref_common
@@ -560,3 +583,213 @@ def test_losses_golden_no_positives(ref, rng):
         float(our_losses.smooth_l1_dim(dim_t, dim_p,
                                        compat_height_only=True)),
         ref_dim, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# chained retinanet_bbox prediction graph
+
+
+def _tamed_variables():
+    """_tiny_variables' random detector, with each head's output layer
+    rescaled so the chained graph produces a NUMERICALLY STABLE comparison:
+    ~40-80 anchors above the 0.05 score threshold (no top-100 boundary),
+    unsaturated sigmoids (no exact-1.0 score ties), and O(1) regression
+    outputs (decoded boxes stay plausible). Heads are linear in their final
+    kernel, so one probe measures the output std and a single rescale pins
+    it. Both sides read these SAME weights (ours directly, the reference
+    via our h5 export), so the taming cannot mask a composition bug."""
+    import copy
+
+    import jax
+
+    from ground_plane_polling_tpu.models.fpn import FPN
+    from ground_plane_polling_tpu.models.heads import (
+        BoxRegressionHead, ClassificationHead, DimRegressionHead)
+    from .test_h5_export import _tiny_variables
+
+    import jax.numpy as jnp
+
+    _, variables = _tiny_variables(np.random.RandomState(7))
+    params = copy.deepcopy(dict(variables["params"]))
+    r = np.random.RandomState(11)
+    c3 = r.normal(0, 1, (1, 16, 16, 512)).astype(np.float32)
+    c4 = r.normal(0, 1, (1, 8, 8, 1024)).astype(np.float32)
+    c5 = r.normal(0, 1, (1, 4, 4, 2048)).astype(np.float32)
+    feats = FPN(feature_size=512, name="fpn").apply(
+        {"params": params["fpn"]}, c3, c4, c5)
+
+    def head_out(p, Head, name):
+        return np.concatenate(
+            [np.asarray(Head(name=name).apply({"params": p}, f))
+             for f in feats], axis=1)
+
+    specs = [("classification", ClassificationHead, "cls_out", 2.0, -8.7),
+             ("regression", BoxRegressionHead, "box_out", 1.0, 0.0),
+             ("regression_dim", DimRegressionHead, "dim_out", 0.7, 0.0)]
+    for key, Head, out, target_std, bias in specs:
+        p = copy.deepcopy(params[key])
+        p[out]["bias"] = jnp.zeros_like(p[out]["bias"])
+        if key == "classification":
+            # sigmoid saturates; measure the logit std in the linear regime
+            p[out]["kernel"] = p[out]["kernel"] * 1e-8
+            probe = head_out(p, Head, key)
+            std = float((4.0 * (probe - 0.5)).std()) / 1e-8
+        else:
+            std = float(head_out(p, Head, key).std())
+        p[out]["kernel"] = params[key][out]["kernel"] * (target_std / std)
+        p[out]["bias"] = jnp.full_like(p[out]["bias"], bias)
+        params[key] = p
+    variables["params"] = params
+    return variables, (c3, c4, c5)
+
+
+class _HeadStub:
+    """Stands in for the conv model inside make_detect_fn: returns
+    precomputed raw head outputs (the chained test compares everything
+    DOWNSTREAM of the heads; head-forward parity is pinned separately by
+    test_reference_own_fpn_heads_graph_forward_parity)."""
+
+    def __init__(self, outputs):
+        self.outputs = outputs
+
+    def apply(self, variables, images):
+        del variables, images
+        return self.outputs
+
+
+@pytest.mark.slow
+def test_reference_chained_bbox_graph_golden(ref, tmp_path):
+    """End-to-end golden vs the reference's FULL retinanet_bbox assembly
+    (models/retinanet.py:359-422): graph-time Anchors (P3-P7) ->
+    RegressBoxes -> RegressDims -> FilterDetections -> FitRoadPlanes
+    chained in ONE keras graph, weights from OUR h5 export, a REAL
+    road-plane DB — against our make_detect_fn on the same weights.
+    Individual stage goldens can't catch composition bugs (stage order,
+    which output feeds which input, dtype/layout drift between stages);
+    this one runs the whole prediction graph both ways.
+
+    Scores/ranks differ between frameworks by conv numeric noise (~1e-4),
+    so the weights are tamed for separation (_tamed_variables) and rows
+    within 2e-3 of the 0.05 threshold are exempt from the count match.
+    """
+    import tf_keras
+
+    from keras_retinanet_3D.models import retinanet as ref_rn
+
+    from ground_plane_polling_tpu.data.planes import load_plane_database
+    from ground_plane_polling_tpu.inference import make_detect_fn
+    from ground_plane_polling_tpu.models.fpn import FPN
+    from ground_plane_polling_tpu.models.h5_export import export_reference_h5
+    from ground_plane_polling_tpu.models.heads import (
+        BoxRegressionHead, ClassificationHead, DimRegressionHead)
+    from ground_plane_polling_tpu.ops import anchors as anchor_ops
+    from .test_h5_import import STAGES
+
+    import jax.numpy as jnp
+
+    variables, (c3, c4, c5) = _tamed_variables()
+    params = variables["params"]
+    path = str(tmp_path / "export.h5")
+    export_reference_h5(variables, path, stage_sizes=STAGES)
+
+    # ---- reference side: the full retinanet_bbox graph -------------------
+    c3_in = tf_keras.Input((16, 16, 512), name="C3_input")
+    c4_in = tf_keras.Input((8, 8, 1024), name="C4_input")
+    c5_in = tf_keras.Input((4, 4, 2048), name="C5_input")
+    submodels = ref_rn.default_submodels(num_classes=1, num_anchors=12)
+    kmodel = ref_rn.retinanet([c3_in, c4_in, c5_in],
+                              [c3_in, c4_in, c5_in],
+                              num_classes=1, submodels=submodels)
+    kmodel.load_weights(path, by_name=True)
+    for _, sub in submodels:
+        sub.load_weights(path, by_name=True)
+    bbox_model = ref_rn.retinanet_bbox(model=kmodel)
+
+    # C3 is 16x16 at stride 8 => the implied image is 128x128
+    image_shape = (128, 128)
+    P2 = np.array([[110.0, 0.0, 64.0, 2.1],
+                   [0.0, 110.0, 52.0, 0.11],
+                   [0.0, 0.0, 1.0, 0.0021]], np.float64)
+    p_inv = np.linalg.pinv(P2).astype(np.float32)[None]
+    planes = load_plane_database(
+        f"{PLANES_DIR}/road_planes_database_100.mat").astype(np.float32)[None]
+
+    # sub-assertion: the graph-time Anchors layers == our trace-time grid
+    anch_model = tf_keras.Model(kmodel.inputs,
+                                bbox_model.get_layer("anchors").output)
+    ref_anchors = anch_model.predict([c3, c4, c5], verbose=0)
+    ours_anchors = np.asarray(anchor_ops.anchors_for_shape(image_shape))
+    assert ref_anchors.shape == (1,) + ours_anchors.shape
+    np.testing.assert_allclose(ref_anchors[0], ours_anchors,
+                               rtol=1e-5, atol=1e-3)
+
+    (ref_boxes, ref_dims, ref_scores, ref_labels, ref_orients,
+     ref_kp, ref_kpl, ref_res) = bbox_model.predict(
+        [c3, c4, c5, p_inv, planes], verbose=0)
+
+    # ---- our side: make_detect_fn minus the conv backbone ----------------
+    feats = FPN(feature_size=512, name="fpn").apply(
+        {"params": params["fpn"]}, c3, c4, c5)
+    raw = {}
+    for key, Head in [("regression", BoxRegressionHead),
+                      ("classification", ClassificationHead),
+                      ("regression_dim", DimRegressionHead)]:
+        raw[key] = jnp.concatenate(
+            [Head(name=key).apply({"params": params[key]}, f)
+             for f in feats], axis=1)
+    detect = make_detect_fn(_HeadStub(raw), image_shape,
+                            use_pallas_polling=False)
+    out = detect({}, jnp.zeros((1, *image_shape, 3), jnp.float32),
+                 jnp.asarray(p_inv), jnp.asarray(planes))
+
+    got_scores = np.asarray(out.scores[0])
+    got_boxes = np.asarray(out.boxes[0])
+    got_dims = np.asarray(out.dims[0])
+    got_kp = np.asarray(out.keypoints[0])
+    got_kpl = np.asarray(out.keyplanes[0])
+    got_res = np.asarray(out.residuals[0])
+
+    n_ref = int((ref_scores[0] > 0).sum())
+    n_got = int((got_scores > 0).sum())
+    assert 20 <= n_ref <= 99, f"fixture drifted: {n_ref} ref detections"
+    # rows within noise of the 0.05 threshold may flip inclusion
+    boundary = 2e-3
+    firm_ref = int((ref_scores[0] > 0.05 + boundary).sum())
+    firm_got = int((got_scores > 0.05 + boundary).sum())
+    assert abs(n_ref - n_got) <= 2, (n_ref, n_got)
+    assert firm_ref == firm_got, (firm_ref, firm_got)
+
+    # greedy 1:1 match, descending reference score
+    used = np.zeros(len(got_scores), bool)
+    matched = 0
+    for i in range(n_ref):
+        if ref_scores[0, i] <= 0.05 + boundary:
+            continue
+        cand = np.where(~used[:n_got]
+                        & (np.abs(got_scores[:n_got] - ref_scores[0, i])
+                           < 5e-4))[0]
+        hit = None
+        for j in cand:
+            if np.abs(got_boxes[j] - ref_boxes[0, i]).max() < 0.2:
+                hit = j
+                break
+        assert hit is not None, (
+            f"reference detection {i} (score {ref_scores[0, i]:.4f}) "
+            f"has no match")
+        used[hit] = True
+        matched += 1
+        assert np.asarray(out.labels[0])[hit] == ref_labels[0, i]
+        assert np.asarray(out.orientations[0])[hit] == ref_orients[0, i]
+        np.testing.assert_allclose(got_dims[hit], ref_dims[0, i],
+                                   rtol=1e-4, atol=1e-3)
+        # polling outputs: argmin between near-tied planes may flip, the
+        # residual may not (same leniency as test_fit_road_planes_golden)
+        assert abs(got_res[hit] - ref_res[0, i]) < 2e-3, (
+            got_res[hit], ref_res[0, i])
+        if np.abs(got_kpl[hit] - ref_kpl[0, i]).max() < 1e-4:
+            np.testing.assert_allclose(got_kp[hit], ref_kp[0, i],
+                                       rtol=1e-3, atol=5e-3)
+    assert matched == firm_ref
+    # padding contract holds on both sides
+    assert np.all(ref_scores[0, n_ref:] == -1.0)
+    assert np.all(got_scores[n_got:] == -1.0)
