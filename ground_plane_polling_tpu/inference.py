@@ -81,7 +81,6 @@ def make_detect_fn(
     max_detections: int = 100,
     nms_threshold: float = 0.5,
     pre_nms_top_k: int = 1024,
-    approx_top_k: bool = False,
     use_pallas_polling="auto",
     fused_decode: bool = True,
     mesh=None,
@@ -150,7 +149,6 @@ def make_detect_fn(
         max_detections=max_detections,
         nms_threshold=nms_threshold,
         pre_nms_top_k=pre_nms_top_k,
-        approx_top_k=approx_top_k,
     )
 
     def detect(variables, images, P_inv, planes) -> DetectionOutput:

@@ -132,21 +132,19 @@ def _greedy_nms(boxes4, scores, max_out: int, iou_threshold: float):
 
 
 def _one_candidate_set(boxes, scores, score_threshold, nms, nms_threshold,
-                       max_detections, pre_nms_top_k, approx_top_k=False):
+                       max_detections, pre_nms_top_k):
     """Threshold + (optional) NMS for one score vector over all anchors.
 
     Returns (anchor_idx (M,), valid (M,), score (M,)).
+
+    Exact top_k only: jax.lax.approx_max_k was benchmarked here and lost
+    (85 vs 116 img/s e2e, round-1 sweep) and the round-2 sub-profile puts
+    exact top_k at 0.084 ms — the approximate lever is measured-dead, so
+    the flag was removed (docs/PERFORMANCE.md "Levers not yet pulled").
     """
     masked = jnp.where(scores > score_threshold, scores, _NEG_INF)
     k = min(pre_nms_top_k, masked.shape[0])
-    if approx_top_k and k < masked.shape[0]:
-        # TPU-native approximate top-k (recall ~0.95 by default): much
-        # cheaper than the exact sort over ~100k+ anchor scores; candidates
-        # it misses are far outside the final top-100 in practice.
-        # aggregate_to_topk (default) returns the set exactly sorted.
-        top_scores, top_idx = jax.lax.approx_max_k(masked, k)
-    else:
-        top_scores, top_idx = jax.lax.top_k(masked, k)
+    top_scores, top_idx = jax.lax.top_k(masked, k)
     if nms:
         sel, valid, sel_scores = _greedy_nms(
             boxes[top_idx, :4], top_scores, max_detections, nms_threshold)
@@ -158,8 +156,7 @@ def _one_candidate_set(boxes, scores, score_threshold, nms, nms_threshold,
 @functools.partial(
     jax.jit,
     static_argnames=("num_classes", "class_specific", "orientation_specific",
-                     "nms", "max_detections", "pre_nms_top_k",
-                     "approx_top_k"),
+                     "nms", "max_detections", "pre_nms_top_k"),
 )
 def filter_detections(
     boxes,
@@ -173,7 +170,6 @@ def filter_detections(
     max_detections: int = 100,
     nms_threshold: float = 0.5,
     pre_nms_top_k: int = 1024,
-    approx_top_k: bool = False,
 ) -> Detections:
     """Filter one image's raw predictions into padded detections.
 
@@ -196,7 +192,7 @@ def filter_detections(
         for scores, labels, orients in score_list:
             idx, valid, score = _one_candidate_set(
                 boxes, scores, score_threshold, nms, nms_threshold,
-                max_detections, pre_nms_top_k, approx_top_k)
+                max_detections, pre_nms_top_k)
             cand_idx.append(idx)
             cand_valid.append(valid)
             cand_score.append(score)
@@ -283,8 +279,7 @@ def filter_detections_batch(boxes, dims, classification, **kw):
 @functools.partial(
     jax.jit,
     static_argnames=("num_classes", "class_specific", "orientation_specific",
-                     "nms", "max_detections", "pre_nms_top_k",
-                     "approx_top_k"),
+                     "nms", "max_detections", "pre_nms_top_k"),
 )
 def filter_detections_fused(
     anchors,
@@ -299,7 +294,6 @@ def filter_detections_fused(
     max_detections: int = 100,
     nms_threshold: float = 0.5,
     pre_nms_top_k: int = 1024,
-    approx_top_k: bool = False,
 ) -> Detections:
     """filter_detections with box/dim decoding DEFERRED past candidate
     selection: scores depend only on the classification output, so the
@@ -327,10 +321,7 @@ def filter_detections_fused(
     def run_set(scores, labels, orients):
         masked = jnp.where(scores > score_threshold, scores, _NEG_INF)
         k = min(pre_nms_top_k, n)
-        if approx_top_k and k < n:
-            top_scores, top_idx = jax.lax.approx_max_k(masked, k)
-        else:
-            top_scores, top_idx = jax.lax.top_k(masked, k)
+        top_scores, top_idx = jax.lax.top_k(masked, k)
         cand_boxes = decode_candidates(top_idx)
         if nms:
             sel, valid, sel_scores = _greedy_nms(

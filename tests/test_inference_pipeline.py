@@ -68,12 +68,11 @@ def _planes():
     ], np.float32)
 
 
-def _run(use_pallas=False, approx=False):
+def _run(use_pallas=False):
     outputs, gt12, dims_true, orientation, pts3 = _build_scene_outputs()
     model = _StubModel(outputs)
     detect = make_detect_fn(model, IMG, num_classes=1, with_pose=True,
-                            use_pallas_polling=use_pallas,
-                            approx_top_k=approx)
+                            use_pallas_polling=use_pallas)
     planes = _planes()
     out = detect({}, jnp.zeros((1, *IMG, 3)),
                  jnp.asarray(P_INV[None], jnp.float32),
@@ -121,11 +120,3 @@ def test_full_pipeline_pallas_matches_jnp():
     np.testing.assert_allclose(np.asarray(out_a.keypoints[0, 0]),
                                np.asarray(out_b.keypoints[0, 0]),
                                rtol=1e-3, atol=1e-3)
-
-
-def test_full_pipeline_approx_topk():
-    out_a, *_ = _run(approx=False)
-    out_c, *_ = _run(approx=True)
-    # the single strong detection survives approximate candidate selection
-    np.testing.assert_allclose(np.asarray(out_a.scores[0, 0]),
-                               np.asarray(out_c.scores[0, 0]), rtol=1e-5)

@@ -1,4 +1,4 @@
-"""Variant sweep on the real chip: approx-top-k, Pallas polling at 22k
+"""Variant sweep on the real chip: pre-NMS top-k, Pallas polling at 22k
 planes, batched inference. One process, pipelined timing."""
 
 import os
