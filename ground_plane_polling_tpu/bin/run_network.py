@@ -32,6 +32,14 @@ def parse_args(argv):
     p.add_argument("output_dir")
     p.add_argument("--kitti", action="store_true",
                    help="Write KITTI-format result txts.")
+    p.add_argument("--batch", type=int, default=1,
+                   help="detect N images per device dispatch (grouped by "
+                        "padded shape, short groups padded by repeating "
+                        "the last frame; per-image outputs are identical "
+                        "to --batch 1). Batching amortizes the dispatch "
+                        "overhead: b4 with --int8 --fuse-towers is the "
+                        "measured serving sweet spot "
+                        "(docs/PERFORMANCE.md).")
     p.add_argument("--save-images", action="store_true",
                    help="Write composite 2D/3D visualization images.")
     p.add_argument("--backbone", default=None,
@@ -184,32 +192,21 @@ def main(argv=None):
                 model, variables, canvases,
                 percentile=args.int8_percentile)
 
-    for j, fn in enumerate(calib_files):
-        prep = prepared.pop(fn) if fn in prepared else prepare(fn)
-        if prep is None:
-            continue
+    def write_outputs(prep, out, j):
+        """Write one image's .mat / KITTI txt / composite from row j of a
+        (possibly batched) detect output already fetched to the host."""
         image_fp, raw, scale, image, P, P_inv = prep
-
-        fn_detect = get_fn(image.shape[:2])
-        t0 = time.time()
-        out = fn_detect(
-            variables, image[None],
-            jnp.asarray(P_inv[None], jnp.float32),
-            jnp.asarray(planes[None], jnp.float32))
-        out = {k: np.asarray(v) for k, v in out._asdict().items()}
-        print(f"Image {j}: frame rate: {1.0 / (time.time() - t0):.2f}")
-
-        keep = out["scores"][0] > args.score_threshold
-        boxes = out["boxes"][0][keep] / scale
-        scores = out["scores"][0][keep]
-        labels = out["labels"][0][keep]
-        orientations = out["orientations"][0][keep]
-        keypoints = out["keypoints"][0][keep].reshape(-1, 12)
-        keyplanes = out["keyplanes"][0][keep].reshape(-1, 4)
-        residuals = out["residuals"][0][keep]
-        locations = out["locations"][0][keep]
-        angles = out["angles"][0][keep]
-        dims = out["pose_dims"][0][keep]
+        keep = out["scores"][j] > args.score_threshold
+        boxes = out["boxes"][j][keep] / scale
+        scores = out["scores"][j][keep]
+        labels = out["labels"][j][keep]
+        orientations = out["orientations"][j][keep]
+        keypoints = out["keypoints"][j][keep].reshape(-1, 12)
+        keyplanes = out["keyplanes"][j][keep].reshape(-1, 4)
+        residuals = out["residuals"][j][keep]
+        locations = out["locations"][j][keep]
+        angles = out["angles"][j][keep]
+        dims = out["pose_dims"][j][keep]
 
         stem = os.path.basename(image_fp).rsplit(".", 1)[0]
         scipy.io.savemat(
@@ -241,6 +238,66 @@ def main(argv=None):
             Image.fromarray(comp[:, :, ::-1]).save(
                 os.path.join(out_root, "images", "composite",
                              stem + ".png"))
+
+    # Batched directory loop (reference analog: the strictly per-image loop
+    # at /root/reference/keras_retinanet_3D/bin/run_network.py:90-135).
+    # Frames are bucketed by padded canvas shape as they stream in; a bucket
+    # dispatches as soon as it holds a full batch, remainders are padded by
+    # repeating the last frame (padding rows discarded). One batch stays in
+    # flight so host decode + file writes overlap device compute — the same
+    # pipeline shape as serve.py, with bounded memory (<= batch frames per
+    # distinct canvas shape held at once).
+    batch = max(1, args.batch)
+    n_done = 0
+    t_start = time.time()
+    pending = None  # (chunk, device out, dispatch time)
+
+    def dispatch(chunk):
+        fn_detect = get_fn(chunk[0][3].shape[:2])
+        padded = chunk + [chunk[-1]] * (batch - len(chunk))
+        out = fn_detect(
+            variables,
+            np.stack([p[3] for p in padded]),
+            jnp.asarray(np.stack([p[5] for p in padded]), jnp.float32),
+            jnp.asarray(np.tile(planes[None], (batch, 1, 1)), jnp.float32))
+        return chunk, out, time.time()
+
+    def finalize(pend):
+        nonlocal n_done
+        chunk, out, t0 = pend
+        out = {k: np.asarray(v) for k, v in out._asdict().items()}
+        for j, prep in enumerate(chunk):
+            write_outputs(prep, out, j)
+        dt = max(time.time() - t0, 1e-9)
+        first = n_done
+        n_done += len(chunk)
+        label = (f"Image {first}" if len(chunk) == 1 else
+                 f"Images {first}-{n_done - 1}")
+        print(f"{label}: frame rate: {len(chunk) / dt:.2f}")
+
+    buckets = {}
+    for fn in calib_files:
+        prep = prepared.pop(fn) if fn in prepared else prepare(fn)
+        if prep is None:
+            continue
+        shape = prep[3].shape[:2]
+        buckets.setdefault(shape, []).append(prep)
+        if len(buckets[shape]) == batch:
+            dispatched = dispatch(buckets.pop(shape))
+            if pending is not None:
+                finalize(pending)
+            pending = dispatched
+    for chunk in buckets.values():  # padded remainders
+        dispatched = dispatch(chunk)
+        if pending is not None:
+            finalize(pending)
+        pending = dispatched
+    if pending is not None:
+        finalize(pending)
+    if n_done:
+        dt = time.time() - t_start
+        print(f"done: {n_done} images in {dt:.2f}s "
+              f"({n_done / max(dt, 1e-9):.1f} img/s)")
 
 
 if __name__ == "__main__":

@@ -412,3 +412,92 @@ def test_train_cli_data_parallel_fused(kitti_root, tmp_path):
     assert int(state.step) == 2
     records = [json.loads(l) for l in open(out / "log.jsonl")]
     assert np.isfinite(records[-1]["loss"])
+
+
+def test_run_network_batched_identical(trained, tmp_path):
+    """run-network --batch N writes per-image outputs identical to --batch 1
+    (shape-bucketed grouping + remainder padding must not leak across rows).
+    Reference analog of the batched loop: the strictly per-image loop at
+    /root/reference/keras_retinanet_3D/bin/run_network.py:90-135.
+
+    Labels must be BIT-equal across batch sizes; scores to one float32 ulp
+    (batched-conv reduction order reaches the sigmoid). Boxes/keypoints at
+    2e-3 px are the row-mixup guard (distinct frames differ by pixels). On
+    this fixture every detection is a disqualified near-horizon noise hit
+    (untrained model), where back-projection amplifies the ulp noise to
+    ~0.1 m — and some rays land km-scale — so 3D fields use
+    conditioning-aware atol+rtol still far below the spread between
+    distinct rows (a mixup still fails)."""
+    import shutil
+
+    from PIL import Image
+
+    kitti_root, out, _ = trained
+    from ground_plane_polling_tpu.bin.convert_model import main as convert
+    from ground_plane_polling_tpu.bin.run_network import main as run_net
+    from ground_plane_polling_tpu.training.checkpoint import latest_checkpoint
+
+    ckpt = latest_checkpoint(os.path.join(out, "snapshots"))
+    weights = str(tmp_path / "model.npz")
+    convert([ckpt, weights, "--backbone", "tiny"])
+
+    # three DISTINCT frames (so cross-row contamination would show) sharing
+    # one calib: the fixture val image plus two pixel-permuted copies
+    img_src_dir = os.path.join(kitti_root, "val", "images")
+    (src_name,) = os.listdir(img_src_dir)
+    arr = np.asarray(Image.open(os.path.join(img_src_dir, src_name)))
+    calib_src = os.path.join(kitti_root, "val", "calibs",
+                             src_name.rsplit(".", 1)[0] + ".txt")
+    img_dir = tmp_path / "images"
+    cal_dir = tmp_path / "calibs"
+    img_dir.mkdir()
+    cal_dir.mkdir()
+    for i, a in enumerate([arr, np.roll(arr, 7, axis=1), arr[::-1]]):
+        Image.fromarray(np.ascontiguousarray(a)).save(
+            img_dir / f"{i:06d}.png")
+        shutil.copy(calib_src, cal_dir / f"{i:06d}.txt")
+
+    import scipy.io
+
+    mats = {}
+    for b in (1, 2, 4):  # b2: full pair + padded remainder; b4: all padded
+        odir = str(tmp_path / f"res_b{b}")
+        run_net([
+            weights, str(img_dir), str(cal_dir),
+            os.path.join(kitti_root, "road_planes_database.mat"),
+            odir, "--kitti", "--no-bf16",
+            "--image-min-side", "96", "--image-max-side", "320",
+            "--score-threshold", "0.0", "--batch", str(b),
+        ])
+        mdir = os.path.join(odir, "model", "outputs", "full")
+        kdir = os.path.join(odir, "model", "outputs", "kitti")
+        assert sorted(os.listdir(kdir)) == [f"{i:06d}.txt" for i in range(3)]
+        mats[b] = {fn: scipy.io.loadmat(os.path.join(mdir, fn))
+                   for fn in sorted(os.listdir(mdir))}
+
+    assert set(mats[1]) == set(mats[2]) == set(mats[4])
+    assert len(mats[1]) == 3
+    # the three frames genuinely differ (otherwise row mixups are invisible)
+    sigs = [tuple(np.round(m["scores"].ravel()[:5], 6))
+            for m in mats[1].values()]
+    assert len(set(sigs)) == 3
+    for b in (2, 4):
+        for fn, m1 in mats[1].items():
+            mb = mats[b][fn]
+            np.testing.assert_allclose(m1["scores"], mb["scores"],
+                                       atol=1e-6, rtol=0,
+                                       err_msg=f"b{b} {fn} scores")
+            np.testing.assert_array_equal(m1["labels"], mb["labels"],
+                                          err_msg=f"b{b} {fn} labels")
+            # angles/3D carry the amplified noise (distinct rows differ by
+            # ~radians / ~meters, so these still catch any mixup); rtol
+            # covers near-horizon rays that back-project to km-scale points
+            for key, atol, rtol in (("boxes", 2e-3, 0), ("keypoints", 2e-3, 0),
+                                    ("residuals", 1e-3, 0),
+                                    ("angles", 2e-2, 0),
+                                    ("keypoints3d", 0.5, 2e-3),
+                                    ("locations", 0.5, 2e-3),
+                                    ("dimensions", 0.5, 2e-3)):
+                np.testing.assert_allclose(
+                    m1[key], mb[key], atol=atol, rtol=rtol,
+                    err_msg=f"b{b} {fn} {key}")
