@@ -277,6 +277,127 @@ def test_dontcare_suppresses_fp():
             > r_fp["Car"]["bbox"]["moderate"])
 
 
+# --- analytic protocol goldens ----------------------------------------------
+# Hand-computed AP/AOS values that pin the devkit protocol constants
+# (41-point threshold grid, [::4] 11-point sampling, right-max envelope,
+# DontCare discard, Van-neighbour ignore, AOS normalisation) to exact
+# numbers — not just directions. Each scenario is small enough to trace
+# by hand; the expected value derivations are in the comments.
+
+_G1 = (0, 0, 100, 100)      # 100 px tall -> counted at every difficulty
+_G2 = (200, 0, 300, 100)
+_G3 = (400, 0, 500, 100)
+
+
+def _eval_bbox(gt_lines, det_lines, mode):
+    r = eval3d.evaluate_kitti_3d([_parse_lines(gt_lines)],
+                                 [_parse_lines(det_lines)],
+                                 metrics=("bbox",), ap_mode=mode)
+    return r["Car"]
+
+
+def test_analytic_two_tp_one_fp():
+    """2 TPs (0.9, 0.8) + 1 FP (0.85): thresholds [0.9, 0.8];
+    precision = [1, 2/3]; AP_11 = 100*(1/11) (only sample 0 of 0,4,..,40
+    is nonzero), AP_40 = 100*(2/3)/40. Pins the threshold grid, the
+    strict `score < t` cut (the 0.85 FP is inactive at t=0.9), and that
+    11pt/R40 genuinely differ."""
+    g = [_obj(bbox=_G1), _obj(bbox=_G2)]
+    d = [_obj(bbox=_G1, score=0.9), _obj(bbox=_G2, score=0.8),
+         _obj(bbox=_G3, score=0.85)]
+    assert _eval_bbox(g, d, "11")["bbox"]["easy"] == pytest.approx(
+        100.0 / 11.0, rel=1e-12)
+    assert _eval_bbox(g, d, "40")["bbox"]["easy"] == pytest.approx(
+        100.0 * (2.0 / 3.0) / 40.0, rel=1e-12)
+
+
+def test_analytic_five_tp_pins_11pt_sampling():
+    """5 TPs, no FP: thresholds at every score, precision 1 on slots 0-4,
+    0 beyond. AP_11 samples slots [0,4,...,40] -> exactly two nonzero ->
+    100*2/11; AP_40 = 100*4/40. A different 11-point stride or an
+    off-by-one in the envelope changes both."""
+    g = [_obj(bbox=(i * 200, 0, i * 200 + 100, 100)) for i in range(5)]
+    d = [_obj(bbox=(i * 200, 0, i * 200 + 100, 100), score=0.9 - 0.1 * i)
+         for i in range(5)]
+    assert _eval_bbox(g, d, "11")["bbox"]["easy"] == pytest.approx(
+        200.0 / 11.0, rel=1e-12)
+    assert _eval_bbox(g, d, "40")["bbox"]["easy"] == pytest.approx(10.0,
+                                                                   rel=1e-12)
+
+
+def test_analytic_dontcare_discard_exact():
+    """The 0.85 det sits exactly on a DontCare box (intersection/det-area
+    = 1 > 0.7) -> removed from the FP count: precision [1, 1] instead of
+    [1, 2/3] -> AP_40 = 100*1/40 = 2.5 exactly."""
+    g = [_obj(bbox=_G1), _obj(bbox=_G2),
+         _obj(type_="DontCare", bbox=_G3, dims=(-1, -1, -1),
+              loc=(-1000, -1000, -1000), ry=-10, alpha=-10)]
+    d = [_obj(bbox=_G1, score=0.9), _obj(bbox=_G2, score=0.8),
+         _obj(bbox=_G3, score=0.85)]
+    assert _eval_bbox(g, d, "40")["bbox"]["easy"] == pytest.approx(
+        2.5, rel=1e-12)
+    assert _eval_bbox(g, d, "11")["bbox"]["easy"] == pytest.approx(
+        100.0 / 11.0, rel=1e-12)
+
+
+def test_analytic_van_neighbour_ignore_exact():
+    """A Car det matching a Van GT is absorbed (neither TP nor FP):
+    AP_40 = 2.5 as if the det did not exist. Control: the same det on a
+    Pedestrian GT (removed class for Car) counts as FP -> 100*(2/3)/40."""
+    d = [_obj(bbox=_G1, score=0.9), _obj(bbox=_G2, score=0.8),
+         _obj(bbox=_G3, score=0.85)]
+    g_van = [_obj(bbox=_G1), _obj(bbox=_G2), _obj(type_="Van", bbox=_G3)]
+    g_ped = [_obj(bbox=_G1), _obj(bbox=_G2),
+             _obj(type_="Pedestrian", bbox=_G3)]
+    assert _eval_bbox(g_van, d, "40")["bbox"]["easy"] == pytest.approx(
+        2.5, rel=1e-12)
+    assert _eval_bbox(g_ped, d, "40")["bbox"]["easy"] == pytest.approx(
+        100.0 * (2.0 / 3.0) / 40.0, rel=1e-12)
+
+
+def test_analytic_aos_exact():
+    """2 TPs with alpha errors pi/2 (similarity 0.5) and pi (0.0):
+    aos = [0.5/1, 0.5/2] -> after envelope [0.5, 0.25];
+    AOS_11 = 100*0.5/11, AOS_40 = 100*0.25/40 = 0.625, while
+    AP_40 = 2.5 (precision stays 1). Pins the (1+cos)/2 kernel and the
+    tp+fp normalisation."""
+    g = [_obj(bbox=_G1, alpha=0.0), _obj(bbox=_G2, alpha=0.0)]
+    d = [_obj(bbox=_G1, score=0.9, alpha=-np.pi / 2),
+         _obj(bbox=_G2, score=0.8, alpha=np.pi)]
+    r11, r40 = _eval_bbox(g, d, "11"), _eval_bbox(g, d, "40")
+    # rel 1e-4: _obj writes alpha with 4 decimals, so cos(pi/2) lands at
+    # ~-3.7e-6 rather than 0
+    assert r11["aos"]["easy"] == pytest.approx(100.0 * 0.5 / 11.0, rel=1e-4)
+    assert r40["aos"]["easy"] == pytest.approx(0.625, rel=1e-4)
+    assert r40["bbox"]["easy"] == pytest.approx(2.5, rel=1e-12)
+
+
+def test_analytic_bev_3d_axis_convention():
+    """ry=0 => length along camera x. A det shifted +0.5 m in x on a
+    (h2, w2, l4) box has BEV IoU 7/9 > 0.7 (TP); +1.0 m gives 0.6 < 0.7
+    (FP, AP 0). If width/length axes were swapped the 0.5 m shift would
+    give 0.6 and the first assert fails. 3D: same footprint, det bottom
+    face lifted 0.2 m -> vertical overlap 1.8/2 -> IoU 14.4/17.6 > 0.7
+    (TP); lifted 0.8 m -> 9.6/22.4 < 0.7 (FP)."""
+    def scene(dx=0.0, dy=0.0):
+        g = [_obj(bbox=_G1, dims=(2, 2, 4), loc=(0, 1.65, 10), ry=0.0)]
+        d = [_obj(bbox=_G1, dims=(2, 2, 4), loc=(dx, 1.65 - dy, 10),
+                  ry=0.0, score=0.9)]
+        return [_parse_lines(g)], [_parse_lines(d)]
+
+    def ap(metric, dx=0.0, dy=0.0):
+        gt, det = scene(dx, dy)
+        r = eval3d.evaluate_kitti_3d(gt, det, metrics=(metric,),
+                                     ap_mode="11")
+        return r["Car"][metric]["easy"]
+
+    one_tp = 100.0 / 11.0   # single threshold, precision 1 at slot 0
+    assert ap("bev", dx=0.5) == pytest.approx(one_tp, rel=1e-12)
+    assert ap("bev", dx=1.0) == 0.0
+    assert ap("3d", dy=0.2) == pytest.approx(one_tp, rel=1e-12)
+    assert ap("3d", dy=0.8) == 0.0
+
+
 def test_get_thresholds_properties():
     scores = np.linspace(0.99, 0.01, 200)
     t = eval3d._get_thresholds(scores, 200)
