@@ -58,8 +58,8 @@ def test_headline_is_final_json_line(monkeypatch):
         "builtins.print",
         lambda *a, **k: lines.append(a[0] if a else ""))
     bench.emit("aux_metric", 1.0, "u", 0.1)
-    bench.emit("gpp_resnet50_e2e_inference", 188.8, "images/sec/chip",
-               18.88)
+    bench.emit("gpp_resnet50_e2e_throughput_b4", 208.0, "images/sec/chip",
+               20.8)
     parsed = json.loads(lines[-1])
-    assert parsed["metric"] == "gpp_resnet50_e2e_inference"
+    assert parsed["metric"] == "gpp_resnet50_e2e_throughput_b4"
     assert set(parsed) == {"metric", "value", "unit", "vs_baseline"}
