@@ -47,6 +47,64 @@ def test_pair_env_override(monkeypatch):
         importlib.reload(bench)
 
 
+def _run_main_with_stubs(monkeypatch, batch):
+    """Drive bench.main() with the device surfaces stubbed out; returns
+    the emitted metric names in order. Pins the aux/headline line
+    structure the driver and BENCH_r0N.json consumers rely on."""
+    import json
+
+    import ground_plane_polling_tpu.inference as inference
+    import ground_plane_polling_tpu.models as models
+
+    class _FakeModel:
+        def init(self, *a, **k):
+            return {}
+
+        def apply(self, *a, **k):  # pragma: no cover - int8 aux disabled
+            raise AssertionError("apply should not run in the stubbed bench")
+
+    monkeypatch.setattr(models, "build_detector", lambda *a, **k:
+                        _FakeModel())
+    monkeypatch.setattr(inference, "make_detect_fn",
+                        lambda *a, **k: object())
+    monkeypatch.setattr(bench, "measure_envelope",
+                        lambda *a, **k: (0.005, [0.005, 0.0055, 0.006]))
+    monkeypatch.setattr(bench, "_flops_per_call", lambda *a, **k: 1.0e12)
+    monkeypatch.setattr(bench, "BATCH", batch)
+    # the int8 aux line needs a real calibration pass — out of scope here
+    monkeypatch.setattr(bench, "INT8_WINDOW_SECS", 0.0)
+    lines = []
+    monkeypatch.setattr("builtins.print",
+                        lambda *a, **k: lines.append(a[0] if a else ""))
+    bench.main()
+    return [json.loads(ln)["metric"] for ln in lines]
+
+
+def test_main_emits_aux_then_b4_headline(monkeypatch):
+    """Default run: b1 envelope + median + MFU and b2 aggregate are aux
+    lines; the b4 aggregate headline is LAST (driver parses the final
+    line). Old b1 metric names survive for BENCH_r01-r03 comparability."""
+    metrics = _run_main_with_stubs(monkeypatch, batch=1)
+    assert metrics == [
+        "gpp_resnet50_e2e_inference",
+        "gpp_b1_estimate_spread_median_n3",
+        "gpp_resnet50_e2e_mfu",
+        "gpp_resnet50_e2e_inference_b2",
+        "gpp_b4_estimate_spread_median_n3",
+        "gpp_resnet50_e2e_throughput_b4",
+    ]
+
+
+def test_main_batch_override_measures_only_that_batch(monkeypatch):
+    """GPP_BENCH_BATCH != 1 measures that batch as the headline and skips
+    every aux block (A/B sweeps should not pay extra measurement time)."""
+    metrics = _run_main_with_stubs(monkeypatch, batch=8)
+    assert metrics == [
+        "gpp_b8_estimate_spread_median_n3",
+        "gpp_resnet50_e2e_throughput_b8",
+    ]
+
+
 def test_headline_is_final_json_line(monkeypatch):
     """The driver parses the LAST stdout line; it must be the headline."""
     import io
