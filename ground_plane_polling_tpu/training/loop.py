@@ -190,6 +190,10 @@ def fit(model, state: TrainState, train_step: Callable, train_loader,
     # the same way) — snapshots then accumulate unboundedly, by request
     lr_schedule = lr_schedule or ReduceLROnPlateau()
     saver = AsyncCheckpointSaver() if async_checkpoints else None
+    if log_path and os.path.dirname(log_path):
+        # snapshot dirs are created by orbax; the JSONL log dir must not
+        # be the one path the caller has to pre-create by hand
+        os.makedirs(os.path.dirname(log_path), exist_ok=True)
     log_f = open(log_path, "a") if log_path else None
     tb_writer = None
     if tensorboard_dir:

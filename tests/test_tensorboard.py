@@ -118,9 +118,13 @@ def test_fit_writes_tensorboard(tmp_path):
             return 1
 
     logdir = str(tmp_path / "tb")
+    # the log path's parent does NOT exist yet: fit() must create it
+    # rather than crash on open() (bit a real 30-epoch TPU session)
+    log_path = tmp_path / "logs" / "nested" / "log.jsonl"
     fit(model, state, make_train_step(model, tx), Loader(), epochs=2,
-        checkpoint_dir=None, log_path=str(tmp_path / "log.jsonl"),
+        checkpoint_dir=None, log_path=str(log_path),
         tensorboard_dir=logdir, verbose=False)
+    assert log_path.exists() and log_path.stat().st_size > 0
 
     events = _read_events(logdir)
     tags = {v.tag for e in events for v in e.summary.value}
