@@ -1,0 +1,156 @@
+"""Where does the inference batch-scaling knee at b4 come from? (VERDICT
+round-3 item 5: the b8 aggregate regresses vs b4 — 264.0 vs 289.4 int8,
+flat-to-down bf16 — and the cause was asserted, not profiled.)
+
+Per-batch, per-stage chained timing on the real chip:
+  stage 1  model forward (backbone + FPN + heads)
+  stage 2  + decode + filter/NMS
+  stage 3  full detect fn (+ polling + pose)
+for b in GPP_KNEE_BATCHES (default 2,4,8), bf16 and (optionally) the
+int8+fused-towers serving config. Long differencing pairs + envelope over
+a short window per point, same artifact-hardened protocol as bench.py
+(docs/PERFORMANCE.md round 3).
+
+The stage deltas tell the story:
+  - if stage-1 per-image time keeps dropping b4->b8 but stage-3 doesn't,
+    the knee is in filter/polling/pose scaling;
+  - if even stage 1 stops scaling, the knee is device-side (HBM or
+    scheduling), not the relay;
+  - if per-ITER fixed cost is constant and per-image device time is flat,
+    b8 should win — a b8 loss then points at the measurement itself.
+
+Run (one python process at a time on this box):
+  tools/tpu_run.sh python tools/profile_batch_knee.py
+Env: GPP_KNEE_BATCHES, GPP_KNEE_WINDOW_SECS (default 45), GPP_KNEE_INT8
+(default 1), GPP_KNEE_PAIR (default "25,125"), plus CPU-smoke overrides
+GPP_KNEE_SHAPE ("416,1344"), GPP_KNEE_BACKBONE ("resnet50"),
+GPP_KNEE_PLANES (1024).
+"""
+
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ground_plane_polling_tpu.inference import (decode_predictions,
+                                                make_detect_fn)
+from ground_plane_polling_tpu.models import (build_detector,
+                                             fuse_detector_params)
+from ground_plane_polling_tpu.ops import anchors as anchor_ops
+from ground_plane_polling_tpu.ops.filtering import filter_detections_batch
+
+IMAGE_SHAPE = tuple(int(s) for s in
+                    os.environ.get("GPP_KNEE_SHAPE", "416,1344").split(","))
+BACKBONE = os.environ.get("GPP_KNEE_BACKBONE", "resnet50")
+N_PLANES = int(os.environ.get("GPP_KNEE_PLANES", 1024))
+BATCHES = [int(b) for b in
+           os.environ.get("GPP_KNEE_BATCHES", "2,4,8").split(",")]
+WINDOW_SECS = float(os.environ.get("GPP_KNEE_WINDOW_SECS", 45))
+WITH_INT8 = os.environ.get("GPP_KNEE_INT8", "1") == "1"
+N1, N2 = (int(n) for n in
+          os.environ.get("GPP_KNEE_PAIR", "25,125").split(","))
+
+
+def envelope(fn, images, scalar_of, window_secs=WINDOW_SECS):
+    """min/median differenced per-iter seconds across a time window."""
+    def run(iters):
+        carry = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(images + carry)
+            carry = scalar_of(out) * 0.0
+        np.asarray(carry)
+        return time.perf_counter() - t0
+
+    run(2)  # compile + warm
+    estimates = []
+    t_start = time.perf_counter()
+    while True:
+        t1, t2 = run(N1), run(N2)
+        estimates.append((t2 - t1) / (N2 - N1))
+        if time.perf_counter() - t_start >= window_secs and \
+                len(estimates) >= 3:
+            break
+        time.sleep(3.0)
+    pos = sorted(e for e in estimates if e > 0)
+    floor = pos[len(pos) // 2] / 2.0  # mid-pair-flip artifact guard
+    valid = [e for e in pos if e >= floor]
+    return min(valid), valid[len(valid) // 2]
+
+
+def inputs(rng, batch):
+    images = jnp.asarray(
+        rng.uniform(-128, 128, (batch, *IMAGE_SHAPE, 3)), jnp.float32)
+    P = np.array([[721.5, 0.0, 609.6, 44.9],
+                  [0.0, 721.5, 172.9, 0.2], [0.0, 0.0, 1.0, 0.003]])
+    P_inv = jnp.asarray(
+        np.tile(np.linalg.pinv(P)[None], (batch, 1, 1)), jnp.float32)
+    planes = np.stack([
+        rng.uniform(-0.05, 0.05, N_PLANES), np.ones(N_PLANES),
+        rng.uniform(-0.05, 0.05, N_PLANES),
+        rng.uniform(-2.5, -1.0, N_PLANES)], axis=1)
+    planes = jnp.asarray(np.tile(planes[None], (batch, 1, 1)), jnp.float32)
+    return images, P_inv, planes
+
+
+def profile_config(label, model, variables, quant_scales, rng):
+    anchors = jnp.asarray(anchor_ops.anchors_for_shape(IMAGE_SHAPE))
+    print(f"\n== {label} ==", flush=True)
+    print(f"{'b':>3} {'fwd ms/it':>10} {'+filt ms/it':>12} "
+          f"{'full ms/it':>11} | {'fwd':>6} {'filt':>6} {'poll+pose':>9} "
+          f"ms/img | {'agg img/s':>9} {'med':>7}")
+    for b in BATCHES:
+        images, P_inv, planes = inputs(rng, b)
+
+        fwd = jax.jit(lambda im: model.apply(variables, im))
+        t_fwd, _ = envelope(fwd, images,
+                            lambda o: o["regression"][0, 0, 0])
+
+        @jax.jit
+        def fwd_filter(im):
+            raw = model.apply(variables, im)
+            boxes, dims = decode_predictions(raw, anchors, 1)
+            return filter_detections_batch(
+                boxes, dims, raw["classification"], num_classes=1)
+
+        t_fil, _ = envelope(fwd_filter, images, lambda o: o.scores[0, 0])
+
+        full = make_detect_fn(model, IMAGE_SHAPE, num_classes=1,
+                              with_pose=True, quant_scales=quant_scales)
+        t_full, med_full = envelope(
+            lambda im: full(variables, im, P_inv, planes), images,
+            lambda o: o.scores[0, 0])
+        print(f"{b:>3} {t_fwd*1e3:>10.2f} {t_fil*1e3:>12.2f} "
+              f"{t_full*1e3:>11.2f} | {t_fwd/b*1e3:>6.2f} "
+              f"{(t_fil-t_fwd)/b*1e3:>6.2f} {(t_full-t_fil)/b*1e3:>9.2f} "
+              f"ms/img | {b/t_full:>9.1f} {b/med_full:>7.1f}", flush=True)
+
+
+def main():
+    rng = np.random.RandomState(0)
+    model = build_detector(BACKBONE, num_classes=1, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, *IMAGE_SHAPE, 3), jnp.float32))
+    profile_config("bf16", model, variables, None, rng)
+
+    if WITH_INT8:
+        from ground_plane_polling_tpu.models.quantize import collect_scales
+
+        model_f = build_detector(BACKBONE, num_classes=1,
+                                 dtype=jnp.bfloat16, fuse_cls_dim=True)
+        variables_f = fuse_detector_params(variables)
+        images1, _, _ = inputs(rng, 1)
+        scales = collect_scales(lambda v, im: model_f.apply(v, im),
+                                [(variables_f, images1)])
+        profile_config("int8 + fused towers", model_f, variables_f,
+                       scales, rng)
+
+
+if __name__ == "__main__":
+    main()
