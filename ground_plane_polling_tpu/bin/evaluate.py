@@ -59,7 +59,7 @@ def main(argv=None):
     from ..data.kitti import KittiDataset
     from ..data.pipeline import KittiLoader
     from ..models import build_detector
-    from ..training.checkpoint import import_params
+    from ..training.checkpoint import device_resident, import_params
     from ..training.loop import evaluate_model
     from ..training.train import TrainState
 
@@ -83,11 +83,6 @@ def main(argv=None):
         from ..models import fuse_detector_params
 
         variables = fuse_detector_params(variables)
-    state = TrainState(step=jnp.zeros((), jnp.int32),
-                       params=variables["params"],
-                       frozen=variables.get("frozen", {}),
-                       opt_state=None, lr=jnp.zeros(()))
-
     mesh = None
     if args.data_parallel:
         import jax
@@ -103,6 +98,22 @@ def main(argv=None):
             print("note: --data-parallel requested but only one device is "
                   "visible; falling back to single-device batching",
                   file=sys.stderr)
+
+    # one upload instead of one per eval batch (see device_resident
+    # docstring); with a mesh, place replicated up front so the committed
+    # tree already matches make_detect_fn's in_shardings
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        variables = jax.device_put(
+            variables, NamedSharding(mesh, PartitionSpec()))
+    else:
+        variables = device_resident(variables)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       frozen=variables.get("frozen", {}),
+                       opt_state=None, lr=jnp.zeros(()))
 
     mean_ap, errors, aps = evaluate_model(
         model, state, loader, num_classes=num_classes,

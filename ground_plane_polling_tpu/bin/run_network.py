@@ -78,7 +78,7 @@ def main(argv=None):
     from ..data.planes import load_plane_database
     from ..inference import make_detect_fn
     from ..models import build_detector
-    from ..training.checkpoint import import_params
+    from ..training.checkpoint import device_resident, import_params
     from ..utils.kitti_writer import write_kitti_file
     from ..utils.visualization import (draw_3d_detections_from_pose,
                                        draw_detections_with_keypoints)
@@ -124,6 +124,8 @@ def main(argv=None):
         from ..models import fuse_detector_params
 
         variables = fuse_detector_params(variables)
+    # one upload instead of one per dispatch (see device_resident docstring)
+    variables = device_resident(variables)
     planes = load_plane_database(args.plane_params_path)
 
     out_root = os.path.join(

@@ -74,7 +74,7 @@ def main(argv=None):
     from ..data.planes import load_plane_database
     from ..inference import make_detect_fn
     from ..models import build_detector
-    from ..training.checkpoint import import_params
+    from ..training.checkpoint import device_resident, import_params
     from ..utils.kitti_writer import write_kitti_file
 
     cfg = {}
@@ -93,6 +93,8 @@ def main(argv=None):
         from ..models import fuse_detector_params
 
         variables = fuse_detector_params(variables)
+    # one upload instead of one per micro-batch (see device_resident docstring)
+    variables = device_resident(variables)
     planes = load_plane_database(args.plane_params_path)
     os.makedirs(args.output_dir, exist_ok=True)
 

@@ -168,8 +168,31 @@ def export_params(path: str, variables) -> None:
 
 
 def import_params(path: str):
-    """Load an exported .npz back into a variables dict."""
+    """Load an exported .npz back into a variables dict.
+
+    Leaves are host numpy arrays. Inference CLIs that call a jitted
+    function repeatedly must pass the tree through device_resident()
+    first — see its docstring for why.
+    """
     with np.load(path) as data:
         flat = {k: data[k] for k in data.files}
     tree = _unflatten(flat)
     return {"params": tree.get("params", {}), "frozen": tree.get("frozen", {})}
+
+
+def device_resident(variables):
+    """One explicit jax.device_put of the whole variables tree.
+
+    A jitted function re-transfers any host numpy argument on EVERY
+    call; with import_params() output that is the entire weight set
+    (~150 MB for the resnet50 detector), which on the remote-TPU relay
+    costs ~12 s per dispatch — run-network measured 0.08 img/s at b1
+    before this, vs ~10 img/s directory throughput after (see
+    docs/PERFORMANCE.md round 4). Putting the tree once makes the
+    leaves committed device arrays that every later call reuses.
+
+    Not folded into import_params because convert_model round-trips
+    npz -> npz on the host and must not bounce the weights through the
+    device.
+    """
+    return jax.device_put(variables)

@@ -164,3 +164,30 @@ def test_prune_checkpoints_keep_zero(tmp_path):
     assert prune_checkpoints(d, keep=0) == 0
     assert prune_checkpoints(d, keep=-3) == 0
     assert sorted(os.listdir(d)) == ["step_00000020", "step_00000030"]
+
+
+def test_device_resident_makes_jit_calls_transfer_free(tmp_path):
+    """import_params leaves are host numpy; a jitted detect fn re-uploads
+    them on EVERY call (through the TPU relay that is ~150 MB/dispatch for
+    resnet50 — run-network measured 0.08 img/s at b1 before the fix).
+    device_resident must yield committed device arrays so repeated jitted
+    calls move no bytes; pinned here with a transfer guard."""
+    from ground_plane_polling_tpu.training.checkpoint import device_resident
+
+    variables = {"params": {"w": np.ones((8, 8), np.float32)},
+                 "frozen": {"m": np.zeros((8,), np.float32)}}
+    export_params(str(tmp_path / "m.npz"), variables)
+    loaded = import_params(str(tmp_path / "m.npz"))
+    assert isinstance(loaded["params"]["w"], np.ndarray)  # host side
+
+    resident = device_resident(loaded)
+    assert isinstance(resident["params"]["w"], jax.Array)
+
+    f = jax.jit(lambda v, x: v["params"]["w"] @ x + v["frozen"]["m"])
+    x = jax.device_put(np.ones((8,), np.float32))
+    f(resident, x).block_until_ready()  # compile outside the guard
+    with jax.transfer_guard("disallow"):
+        f(resident, x)  # device-resident tree: no implicit transfers
+    with pytest.raises(Exception, match="[Dd]isallow"):
+        with jax.transfer_guard("disallow"):
+            f(loaded, x)  # host tree: would re-upload every call

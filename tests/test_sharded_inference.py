@@ -89,8 +89,18 @@ def test_sharded_evaluate_matches_single(tmp_path):
 
     kwargs = dict(num_classes=ds.num_classes, score_threshold=0.0)
     ap1, err1, buckets1 = evaluate_model(model, state, loader, **kwargs)
-    ap2, err2, buckets2 = evaluate_model(model, state, loader,
-                                         mesh=data_parallel_mesh(4), **kwargs)
+    # mirror bin/evaluate.py --data-parallel: the variables tree is
+    # committed replicated over the mesh BEFORE the sweep (one upload,
+    # matching make_detect_fn's replicated in_sharding)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = data_parallel_mesh(4)
+    placed = jax.device_put({"params": variables["params"],
+                             "frozen": variables.get("frozen", {})},
+                            NamedSharding(mesh, PartitionSpec()))
+    state2 = state._replace(params=placed["params"], frozen=placed["frozen"])
+    ap2, err2, buckets2 = evaluate_model(model, state2, loader,
+                                         mesh=mesh, **kwargs)
 
     assert ap1 == pytest.approx(ap2, abs=1e-6)
     for k in err1:
