@@ -96,6 +96,9 @@ def main(argv=None):
     # one upload instead of one per micro-batch (see device_resident docstring)
     variables = device_resident(variables)
     planes = load_plane_database(args.plane_params_path)
+    # shared constant input: upload the tiled plane DB once, not per batch
+    planes_dev = jnp.asarray(
+        np.tile(planes[None].astype(np.float32), (args.batch_size, 1, 1)))
     os.makedirs(args.output_dir, exist_ok=True)
 
     detect_fns = {}
@@ -145,8 +148,7 @@ def main(argv=None):
             variables,
             np.stack([it["image"] for it in items]),
             np.stack([it["P_inv"] for it in items]),
-            np.tile(planes[None].astype(np.float32),
-                    (args.batch_size, 1, 1)))
+            planes_dev)
         return n, items, out, time.time()
 
     def finalize_batch(pending):

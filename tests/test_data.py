@@ -265,6 +265,57 @@ def test_resize_image_matches_reference_cv2():
     np.testing.assert_array_equal(ours, ref.astype(np.float32))
 
 
+def test_resize_image_uint8_path_bit_identical():
+    """The serving CLIs' cast-free uint8 resize+pad path produces the
+    exact canvas of the old float path (uint8_canvas(_resize_image(f32))):
+    rint∘clip is the identity on the resize kernels' uint8-valued output,
+    so skipping the full-frame float round trips must change nothing."""
+    from ground_plane_polling_tpu.data.kitti import resize_scale
+    from ground_plane_polling_tpu.data.pipeline import (_resize_image,
+                                                        _resize_image_uint8,
+                                                        uint8_canvas)
+
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (375, 1242, 3), dtype=np.uint8)
+    scale = resize_scale(img.shape[:2])
+
+    new = _resize_image_uint8(img, scale)
+    old = _resize_image(img.astype(np.float32), scale)
+    assert new.dtype == np.uint8 and new.shape == old.shape
+    ph = int(np.ceil(old.shape[0] / 32)) * 32
+    pw = int(np.ceil(old.shape[1] / 32)) * 32
+    canvas = np.zeros((ph, pw, 3), np.uint8)
+    canvas[: new.shape[0], : new.shape[1]] = new
+    np.testing.assert_array_equal(canvas, uint8_canvas(old, ph, pw))
+
+
+def test_read_image_bgr_png_decoders_bit_identical(tmp_path):
+    """read_image_bgr's cv2 PNG fast path must match the PIL path exactly
+    (PNG is lossless; both decoders see the same pixels) across RGB, RGBA,
+    grayscale, and palette encodings."""
+    pytest.importorskip("cv2")
+    from PIL import Image
+
+    from ground_plane_polling_tpu.data.kitti import read_image_bgr
+
+    rng = np.random.RandomState(2)
+    rgb = rng.randint(0, 255, (37, 53, 3), dtype=np.uint8)
+    cases = {
+        "rgb.png": Image.fromarray(rgb),
+        "rgba.png": Image.fromarray(
+            np.concatenate([rgb, np.full((37, 53, 1), 200, np.uint8)], -1)),
+        "gray.png": Image.fromarray(rgb[:, :, 0]),
+        "palette.png": Image.fromarray(rgb).convert(
+            "P", palette=Image.ADAPTIVE),
+    }
+    for name, im in cases.items():
+        fp = str(tmp_path / name)
+        im.save(fp)
+        got = read_image_bgr(fp)
+        pil = np.asarray(Image.open(fp).convert("RGB"))[:, :, ::-1]
+        np.testing.assert_array_equal(got, pil, err_msg=name)
+
+
 def test_resize_image_pil_fallback_close():
     """The PIL fallback stays within a bounded deviation of the cv2 kernel
     on photographic (smooth) content at the KITTI scale."""
