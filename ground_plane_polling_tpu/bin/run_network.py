@@ -40,6 +40,12 @@ def parse_args(argv):
                         "overhead: b4 with --int8 --fuse-towers is the "
                         "measured serving sweet spot "
                         "(docs/PERFORMANCE.md).")
+    p.add_argument("--prep-threads", type=int,
+                   default=max(1, min(4, (os.cpu_count() or 1) - 1)),
+                   help="host decode/resize threads feeding the device "
+                        "(bounded prefetch, outputs identical to serial; "
+                        "the directory loop is host-decode-bound on small "
+                        "hosts — docs/PERFORMANCE.md)")
     p.add_argument("--save-images", action="store_true",
                    help="Write composite 2D/3D visualization images.")
     p.add_argument("--backbone", default=None,
@@ -282,9 +288,44 @@ def main(argv=None):
                  f"Images {first}-{n_done - 1}")
         print(f"{label}: frame rate: {len(chunk) / dt:.2f}")
 
+    def prepared_frames():
+        """Yield (calib filename, prepared frame) in calib_files order.
+
+        With --prep-threads > 1, frames decode on a bounded thread pool
+        (PIL/cv2 release the GIL during decode) so host prep runs ahead of
+        the device; order and per-frame results are identical to the
+        serial path. Frames already decoded for int8 calibration are
+        reused either way."""
+        if args.prep_threads <= 1:
+            for fn in calib_files:
+                yield fn, (prepared.pop(fn) if fn in prepared
+                           else prepare(fn))
+            return
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(args.prep_threads) as pool:
+            q = collections.deque()
+            it = iter(calib_files)
+
+            def submit_next():
+                fn = next(it, None)
+                if fn is None:
+                    return
+                if fn in prepared:
+                    q.append((fn, None, prepared.pop(fn)))
+                else:
+                    q.append((fn, pool.submit(prepare, fn), None))
+
+            for _ in range(2 * args.prep_threads):
+                submit_next()
+            while q:
+                fn, fut, val = q.popleft()
+                submit_next()
+                yield fn, (val if fut is None else fut.result())
+
     buckets = {}
-    for fn in calib_files:
-        prep = prepared.pop(fn) if fn in prepared else prepare(fn)
+    for fn, prep in prepared_frames():
         if prep is None:
             continue
         shape = prep[3].shape[:2]

@@ -475,6 +475,24 @@ def test_run_network_batched_identical(trained, tmp_path):
         mats[b] = {fn: scipy.io.loadmat(os.path.join(mdir, fn))
                    for fn in sorted(os.listdir(mdir))}
 
+    # threaded host prep is a pure host-side reordering: same batch size
+    # must give BIT-identical outputs to the serial prep path
+    odir_t = str(tmp_path / "res_b2_threads")
+    run_net([
+        weights, str(img_dir), str(cal_dir),
+        os.path.join(kitti_root, "road_planes_database.mat"),
+        odir_t, "--kitti", "--no-bf16",
+        "--image-min-side", "96", "--image-max-side", "320",
+        "--score-threshold", "0.0", "--batch", "2", "--prep-threads", "3",
+    ])
+    mdir_t = os.path.join(odir_t, "model", "outputs", "full")
+    for fn, m2 in mats[2].items():
+        mt = scipy.io.loadmat(os.path.join(mdir_t, fn))
+        for key in ("scores", "labels", "boxes", "keypoints", "locations",
+                    "angles", "dimensions", "residuals"):
+            np.testing.assert_array_equal(m2[key], mt[key],
+                                          err_msg=f"threads {fn} {key}")
+
     assert set(mats[1]) == set(mats[2]) == set(mats[4])
     assert len(mats[1]) == 3
     # the three frames genuinely differ (otherwise row mixups are invisible)
