@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["PoseResult", "solve_pose", "rodrigues_from_matrix",
-           "matrix_from_rodrigues", "corners_from_pose"]
+           "matrix_from_rodrigues", "matrix_from_rodrigues_np",
+           "corners_from_pose"]
 
 _EPS = 1e-12
 
@@ -87,6 +88,31 @@ def matrix_from_rodrigues(vec):
     t = theta[..., None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=vec.dtype), K.shape)
     return eye + jnp.sin(t) * K + (1.0 - jnp.cos(t)) * (K @ K)
+
+
+def matrix_from_rodrigues_np(vec):
+    """Numpy twin of `matrix_from_rodrigues` for HOST-side formatting code
+    (KITTI writer, visualization). The jnp version dispatches a handful of
+    device ops per call; called per detection from a host loop that cost
+    ~20 ms/row through the TPU relay — ~2 s per written frame at 100
+    detections (tools/probe_run_network_wall.py). Same math, same shapes:
+    axis-angle (..., 3) -> rotation matrix (..., 3, 3)."""
+    import numpy as np
+
+    vec = np.asarray(vec)
+    theta = np.linalg.norm(vec, axis=-1, keepdims=True)
+    axis = vec / np.maximum(theta, _EPS)
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    zero = np.zeros_like(x)
+    K = np.stack(
+        [np.stack([zero, -z, y], axis=-1),
+         np.stack([z, zero, -x], axis=-1),
+         np.stack([-y, x, zero], axis=-1)],
+        axis=-2,
+    )
+    t = theta[..., None]
+    eye = np.broadcast_to(np.eye(3, dtype=vec.dtype), K.shape)
+    return eye + np.sin(t) * K + (1.0 - np.cos(t)) * (K @ K)
 
 
 class PoseResult(NamedTuple):

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.pose import corners_from_pose, matrix_from_rodrigues
+from ..ops.pose import corners_from_pose, matrix_from_rodrigues_np
 
 __all__ = ["wrap_angle", "kitti_rows", "write_kitti_file"]
 
@@ -56,9 +56,12 @@ def kitti_rows(boxes, scores, locations, angles, dimensions, image_hw,
                 f"{len(scores)} detections")
     rows = []
     h_img, w_img = image_hw
+    # all rotations in one vectorized numpy call — this is host formatting
+    # code and must never dispatch per-row device ops (see
+    # matrix_from_rodrigues_np)
+    Rs = matrix_from_rodrigues_np(np.asarray(angles)) if len(scores) else []
     for i in range(len(scores)):
-        R = np.asarray(matrix_from_rodrigues(np.asarray(angles[i])))
-        corners = corners_from_pose(dimensions[i], R, locations[i])
+        corners = corners_from_pose(dimensions[i], Rs[i], locations[i])
 
         r_y = wrap_angle(float(angles[i][1]))
         Y = float(np.max(corners[1]))

@@ -15,7 +15,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..ops.pose import corners_from_pose, matrix_from_rodrigues
+from ..ops.pose import corners_from_pose, matrix_from_rodrigues_np
 from .colors import label_color
 
 __all__ = [
@@ -131,11 +131,13 @@ def draw_3d_detections_from_pose(image, boxes2d, orientations, residuals,
 
     pil = _to_pil(image)
     draw = ImageDraw.Draw(pil)
+    # vectorized host-side rotations: never dispatch per-row device ops
+    # from a drawing loop (see matrix_from_rodrigues_np)
+    Rs = matrix_from_rodrigues_np(np.asarray(angles)) if len(scores) else []
     for i in range(len(scores)):
         if scores[i] < score_threshold:
             continue
-        R = np.asarray(matrix_from_rodrigues(np.asarray(angles[i])))
-        corners = corners_from_pose(dimensions[i], R, locations[i])
+        corners = corners_from_pose(dimensions[i], Rs[i], locations[i])
         if (corners[2] < 0.1).any():
             continue
         hom = P @ np.vstack([corners, np.ones((1, 8))])

@@ -119,6 +119,49 @@ def test_kitti_rows_clip_to_image():
     assert float(p[6]) == 1224.0 and float(p[7]) == 370.0
 
 
+def test_kitti_rows_never_touches_the_device(rng):
+    """kitti_rows is host formatting code on the CLI critical path; a single
+    device op per row cost ~2 s/frame through the TPU relay
+    (tools/probe_run_network_wall.py). Pin host-only execution."""
+    import jax
+
+    n = 25
+    kwargs = dict(
+        boxes=rng.uniform(0, 300, (n, 4)),
+        scores=rng.uniform(0, 1, n),
+        locations=rng.uniform(-5, 30, (n, 3)),
+        angles=rng.uniform(-1, 1, (n, 3)),
+        dimensions=rng.uniform(1, 4, (n, 3)),
+        image_hw=(370, 1224),
+    )
+    with jax.transfer_guard("disallow"):
+        rows = kitti_rows(**kwargs)
+    assert len(rows) == n
+    # and the empty-detections path
+    with jax.transfer_guard("disallow"):
+        assert kitti_rows(
+            boxes=np.zeros((0, 4)), scores=np.zeros(0),
+            locations=np.zeros((0, 3)), angles=np.zeros((0, 3)),
+            dimensions=np.zeros((0, 3)), image_hw=(370, 1224)) == []
+
+
+def test_draw_3d_from_pose_never_touches_the_device(rng):
+    """Same guard for the 3D wireframe renderer (run-network composites)."""
+    import jax
+
+    img = rng.randint(0, 255, (128, 256, 3)).astype(np.uint8)
+    n = 6
+    with jax.transfer_guard("disallow"):
+        out = vis.draw_3d_detections_from_pose(
+            img, rng.uniform(0, 120, (n, 4)), np.ones(n, np.int32),
+            rng.uniform(0, 0.2, n), rng.uniform(0.5, 1, n),
+            np.zeros(n, np.int32), rng.uniform(-3, 20, (n, 3)),
+            rng.uniform(-1, 1, (n, 3)), rng.uniform(1, 4, (n, 3)),
+            P=np.array([[200.0, 0, 128, 0], [0, 200.0, 64, 0],
+                        [0, 0, 1, 0]]))
+    assert out.shape == img.shape
+
+
 def test_visualization_smoke(rng):
     img = rng.randint(0, 255, (128, 256, 3)).astype(np.uint8)
     boxes = np.array([[20.0, 20, 120, 100, 25, 95, 70, 97, 115, 94, 68, 25]])

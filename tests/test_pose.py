@@ -3,7 +3,8 @@
 import numpy as np
 
 from ground_plane_polling_tpu.ops.pose import (
-    matrix_from_rodrigues, rodrigues_from_matrix, solve_pose)
+    matrix_from_rodrigues, matrix_from_rodrigues_np, rodrigues_from_matrix,
+    solve_pose)
 
 
 def _rot_y(theta):
@@ -20,6 +21,32 @@ def test_rodrigues_roundtrip(rng):
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
         back = np.asarray(rodrigues_from_matrix(R))
         np.testing.assert_allclose(back, v, rtol=1e-4, atol=1e-5)
+
+
+def test_rodrigues_numpy_twin_matches_jnp(rng):
+    """matrix_from_rodrigues_np (host formatting path) must match the jnp
+    version exactly — single vectors, batches, and the zero vector."""
+    vecs = rng.uniform(-2, 2, (37, 3))
+    vecs[0] = 0.0  # zero rotation -> identity
+    got = matrix_from_rodrigues_np(vecs)
+    want = np.stack([np.asarray(matrix_from_rodrigues(v)) for v in vecs])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    np.testing.assert_allclose(got[0], np.eye(3), atol=1e-12)
+    # single-vector (no batch dim) shape contract
+    one = matrix_from_rodrigues_np(vecs[3])
+    assert one.shape == (3, 3)
+    np.testing.assert_allclose(one, want[3], atol=1e-6)
+
+
+def test_rodrigues_numpy_twin_is_host_only(rng):
+    """The numpy twin exists so the KITTI writer / viz loops never dispatch
+    device work; pin that with a transfer guard."""
+    import jax
+
+    vecs = rng.uniform(-2, 2, (8, 3))
+    with jax.transfer_guard("disallow"):
+        out = matrix_from_rodrigues_np(vecs)
+    assert isinstance(out, np.ndarray)
 
 
 def test_rodrigues_identity_and_pi():

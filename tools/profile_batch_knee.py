@@ -105,16 +105,28 @@ def profile_config(label, model, variables, quant_scales, rng):
     print(f"{'b':>3} {'fwd ms/it':>10} {'+filt ms/it':>12} "
           f"{'full ms/it':>11} | {'fwd':>6} {'filt':>6} {'poll+pose':>9} "
           f"ms/img | {'agg img/s':>9} {'med':>7}")
+    # The stage probes must run the SAME forward the full detect fn runs:
+    # when profiling the int8 config, apply the quantization interceptor
+    # (the first knee run measured the bf16 forward in the int8 stage
+    # columns, which made the poll+pose deltas negative — see
+    # docs/PERFORMANCE.md "plateau not knee").
+    if quant_scales is not None:
+        from ground_plane_polling_tpu.models.quantize import quantize_apply
+        apply_fn = quantize_apply(
+            lambda v, im: model.apply(v, im), quant_scales)
+    else:
+        apply_fn = lambda v, im: model.apply(v, im)
+
     for b in BATCHES:
         images, P_inv, planes = inputs(rng, b)
 
-        fwd = jax.jit(lambda im: model.apply(variables, im))
+        fwd = jax.jit(lambda im: apply_fn(variables, im))
         t_fwd, _ = envelope(fwd, images,
                             lambda o: o["regression"][0, 0, 0])
 
         @jax.jit
         def fwd_filter(im):
-            raw = model.apply(variables, im)
+            raw = apply_fn(variables, im)
             boxes, dims = decode_predictions(raw, anchors, 1)
             return filter_detections_batch(
                 boxes, dims, raw["classification"], num_classes=1)
@@ -137,7 +149,8 @@ def main():
     model = build_detector(BACKBONE, num_classes=1, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, *IMAGE_SHAPE, 3), jnp.float32))
-    profile_config("bf16", model, variables, None, rng)
+    if os.environ.get("GPP_KNEE_BF16", "1") == "1":
+        profile_config("bf16", model, variables, None, rng)
 
     if WITH_INT8:
         from ground_plane_polling_tpu.models.quantize import collect_scales
