@@ -35,8 +35,10 @@ def parse_args(argv):
     p.add_argument("--batch", type=int, default=1,
                    help="detect N images per device dispatch (grouped by "
                         "padded shape, short groups padded by repeating "
-                        "the last frame; per-image outputs are identical "
-                        "to --batch 1). Batching amortizes the dispatch "
+                        "the last frame; per-image outputs match --batch 1 "
+                        "to reduction-order ulp — last-digit wobble in the "
+                        "txt fields on TPU bf16). Batching amortizes the "
+                        "dispatch "
                         "overhead: b4 with --int8 --fuse-towers is the "
                         "measured serving sweet spot "
                         "(docs/PERFORMANCE.md).")
@@ -278,7 +280,13 @@ def main(argv=None):
     def finalize(pend):
         nonlocal n_done
         chunk, out, t0 = pend
-        out = {k: np.asarray(v) for k, v in out._asdict().items()}
+        # jax.device_get starts copy_to_host_async on every field before
+        # blocking, so the 11 small output pulls share one relay round-trip
+        # window instead of paying 11 serial ones (per-field np.asarray
+        # cost ~0.3 s/dispatch — tools/probe_run_network_wall.py)
+        import jax
+
+        out = jax.device_get(out._asdict())
         for j, prep in enumerate(chunk):
             write_outputs(prep, out, j)
         dt = max(time.time() - t0, 1e-9)

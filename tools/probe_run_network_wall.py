@@ -103,6 +103,9 @@ def main():
 
         timed("pull: np.asarray every output field", pull)
 
+        timed("pull: jax.device_get (async-overlapped)",
+              lambda: jax.device_get(out_hold._asdict()))
+
         out_np = pull()
 
         def dispatch_and_pull():
