@@ -79,6 +79,7 @@ def parse_args(argv):
 def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
 
+    import jax
     import jax.numpy as jnp
     import scipy.io
 
@@ -179,8 +180,13 @@ def main(argv=None):
         fr = prepare_network_frame(
             image_fp, os.path.join(args.calib_dir, fn_txt),
             args.image_min_side, args.image_max_side)
+        # start this frame's host->device copy NOW (device_put is async):
+        # uploads stream from the prep threads while earlier batches
+        # compute, instead of one blocking batch-sized transfer at
+        # dispatch (227 ms per b4 dispatch on the relay — the post-fix
+        # wall's biggest slice, tools/probe_run_network_wall.py)
         return (image_fp, fr["raw"], fr["scale"], fr["image"], fr["P"],
-                fr["P_inv"])
+                fr["P_inv"], jax.device_put(fr["image"]))
 
     calib_files = sorted(f for f in os.listdir(args.calib_dir)
                          if f.endswith(".txt"))
@@ -205,7 +211,7 @@ def main(argv=None):
     def write_outputs(prep, out, j):
         """Write one image's .mat / KITTI txt / composite from row j of a
         (possibly batched) detect output already fetched to the host."""
-        image_fp, raw, scale, image, P, P_inv = prep
+        image_fp, raw, scale, image, P, P_inv, _ = prep
         keep = out["scores"][j] > args.score_threshold
         boxes = out["boxes"][j][keep] / scale
         scores = out["scores"][j][keep]
@@ -270,9 +276,11 @@ def main(argv=None):
     def dispatch(chunk):
         fn_detect = get_fn(chunk[0][3].shape[:2])
         padded = chunk + [chunk[-1]] * (batch - len(chunk))
+        # canvases were device_put as they decoded (prepare); stacking on
+        # device makes the dispatch wire-free except tiny P_inv rows
         out = fn_detect(
             variables,
-            np.stack([p[3] for p in padded]),
+            jnp.stack([p[6] for p in padded]),
             jnp.asarray(np.stack([p[5] for p in padded]), jnp.float32),
             planes_dev)
         return chunk, out, time.time()
@@ -284,8 +292,6 @@ def main(argv=None):
         # blocking, so the 11 small output pulls share one relay round-trip
         # window instead of paying 11 serial ones (per-field np.asarray
         # cost ~0.3 s/dispatch — tools/probe_run_network_wall.py)
-        import jax
-
         out = jax.device_get(out._asdict())
         for j, prep in enumerate(chunk):
             write_outputs(prep, out, j)

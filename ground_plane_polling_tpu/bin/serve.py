@@ -135,7 +135,12 @@ def main(argv=None):
             args.image_min_side, args.image_max_side)
         return {"stem": stem, "shape": fr["shape"], "scale": fr["scale"],
                 "image": fr["image"], "P_inv": fr["P_inv"],
-                "image_hw": fr["raw"].shape[:2]}
+                "image_hw": fr["raw"].shape[:2],
+                # start the host->device copy at decode time: the canvas
+                # streams up while earlier batches compute instead of one
+                # blocking batch-sized transfer at dispatch (same fix as
+                # run_network; tools/probe_run_network_wall.py)
+                "image_dev": jax.device_put(fr["image"])}
 
     def dispatch_batch(items):
         """items share one padded shape; pads to batch_size by repetition.
@@ -147,7 +152,7 @@ def main(argv=None):
         fn = get_fn(items[0]["shape"])
         out = fn(
             variables,
-            np.stack([it["image"] for it in items]),
+            jnp.stack([it["image_dev"] for it in items]),
             np.stack([it["P_inv"] for it in items]),
             planes_dev)
         return n, items, out, time.time()

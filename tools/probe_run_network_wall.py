@@ -101,19 +101,26 @@ def main():
         def pull():
             return {k: np.asarray(v) for k, v in out_hold._asdict().items()}
 
-        timed("pull: np.asarray every output field", pull)
-
-        timed("pull: jax.device_get (async-overlapped)",
-              lambda: jax.device_get(out_hold._asdict()))
-
+        # NOTE: pulling `out_hold` twice reads a cached host copy — a
+        # fresh output must be dispatched per iteration to measure real
+        # transfer cost, hence the two `full:` variants below. The fresh
+        # serial pull costs full_serial - e2e (~270-280 ms on the relay:
+        # 11 blocking round-trips); device_get overlaps them.
         out_np = pull()
 
         def dispatch_and_pull():
             o = fn(variables, canvas_np, pinv_np, planes_dev)
             return {k: np.asarray(v) for k, v in o._asdict().items()}
 
-        timed("full: dispatch + pull (the CLI's critical path)",
+        timed("full: dispatch + serial np.asarray pull",
               dispatch_and_pull)
+
+        def dispatch_and_device_get():
+            o = fn(variables, canvas_np, pinv_np, planes_dev)
+            return jax.device_get(o._asdict())
+
+        timed("full: dispatch + jax.device_get pull (the CLI path)",
+              dispatch_and_device_get)
 
     import scipy.io
 
