@@ -25,10 +25,12 @@ Batch-1 throughput through the relay is BIMODAL with relay phase (~135 vs
 a back-to-back best-of-3 samples whichever phase the relay happens to be
 in. Each measurement instead spreads differenced estimates across a time
 window (headline: GPP_BENCH_WINDOW_SECS, default 180 s; b1 aux:
-GPP_BENCH_B1_WINDOW_SECS, default 150 s — relay phases flip on minute
-scales; estimates ~10 s apart) and reports the fastest — the clear-path
-envelope, which tracks the device's actual throughput rather than the
-relay's mood.
+GPP_BENCH_B1_WINDOW_SECS, default 300 s — the same window the BENCH_r0{1,2,3}
+b1 envelopes were measured over; session M showed a 150 s window can sample
+only a degraded band (headline 149.8 vs 175-177 real). Relay phases flip on
+minute scales; estimates ~10 s apart) and reports the fastest — the
+clear-path envelope, which tracks the device's actual throughput rather
+than the relay's mood.
 
 The differencing pair is LONG — (N1, N2) = (25, 125) — because a relay
 phase flip BETWEEN a pair's two runs shrinks t2-t1 and inflates the
@@ -80,16 +82,23 @@ PEAK_BF16_TFLOPS = 184.0
 IMAGE_SHAPE = (416, 1344)
 N_PLANES = int(os.environ.get("GPP_BENCH_PLANES", 1024))
 BATCH = int(os.environ.get("GPP_BENCH_BATCH", 1))
-try:
-    N1, N2 = (int(n) for n in
-              os.environ.get("GPP_BENCH_PAIR", "25,125").split(","))
-except ValueError:
-    raise SystemExit("GPP_BENCH_PAIR must be 'N1,N2' (two integers)")
-if not 0 < N1 < N2:
-    raise SystemExit(f"GPP_BENCH_PAIR needs 0 < N1 < N2, got {N1},{N2}")
+def parse_pair(env_name="GPP_BENCH_PAIR", default="25,125"):
+    """Validated 'N1,N2' differencing-pair env parse (dies loudly before
+    any TPU compile). Shared with tools that expose their own pair knob."""
+    raw = os.environ.get(env_name, default)
+    try:
+        n1, n2 = (int(n) for n in raw.split(","))
+    except ValueError:
+        raise SystemExit(f"{env_name} must be 'N1,N2' (two integers)")
+    if not 0 < n1 < n2:
+        raise SystemExit(f"{env_name} needs 0 < N1 < N2, got {n1},{n2}")
+    return n1, n2
+
+
+N1, N2 = parse_pair()
 MIN_ESTIMATES = int(os.environ.get("GPP_BENCH_REPEATS", 3))
 WINDOW_SECS = float(os.environ.get("GPP_BENCH_WINDOW_SECS", 180))
-B1_WINDOW_SECS = float(os.environ.get("GPP_BENCH_B1_WINDOW_SECS", 150))
+B1_WINDOW_SECS = float(os.environ.get("GPP_BENCH_B1_WINDOW_SECS", 300))
 AUX_WINDOW_SECS = float(os.environ.get("GPP_BENCH_AUX_WINDOW_SECS", 60))
 FUSE = os.environ.get("GPP_BENCH_FUSE", "0") == "1"
 TOP_K = int(os.environ.get("GPP_BENCH_TOPK", 1024))
@@ -106,39 +115,59 @@ INT8_WINDOW_SECS = float(os.environ.get("GPP_BENCH_INT8_WINDOW_SECS", 60))
 INT8_AUX_BATCH = 4
 
 
-def chained_run(fn, variables, images, P_inv, planes, iters):
-    """Run `iters` dependent inference calls; returns elapsed wall time
-    including one final host fetch that forces the whole chain."""
+def chained_run_fn(run_once, images, scalar_of, iters):
+    """Run `iters` dependent calls of run_once(images + carry); returns
+    elapsed wall time including one final host fetch that forces the
+    whole chain. Generic core shared with tools/profile_batch_knee.py."""
     carry = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(variables, images + carry, P_inv, planes)
-        carry = out.scores[0, 0] * 0.0  # tiny dependency, keeps shapes fixed
+        out = run_once(images + carry)
+        carry = scalar_of(out) * 0.0  # tiny dependency, keeps shapes fixed
     np.asarray(carry)  # host fetch = real completion of every iteration
     return time.perf_counter() - t0
 
 
-def measure_envelope(fn, variables, images, P_inv, planes,
-                     window_secs, min_estimates):
+def chained_run(fn, variables, images, P_inv, planes, iters):
+    """Run `iters` dependent inference calls; returns elapsed wall time
+    including one final host fetch that forces the whole chain."""
+    return chained_run_fn(lambda im: fn(variables, im, P_inv, planes),
+                          images, lambda o: o.scores[0, 0], iters)
+
+
+def measure_envelope_fn(run_once, images, scalar_of,
+                        window_secs, min_estimates, pair=None):
     """Differenced per-iter estimates spread across a time window.
 
-    Returns (best_per_iter, all_per_iter): consecutive estimates are spaced
-    ~10 s apart so the window samples both relay phases; the minimum
-    per-iter time is the clear-path envelope.
+    Returns (best_per_iter, valid_estimates): consecutive estimates are
+    spaced up to ~10 s apart so the window samples both relay phases; the
+    minimum per-iter time is the clear-path envelope. This is THE
+    measurement protocol — every harness (bench.py, verify_envelope,
+    profile_batch_knee) must go through it so protocol fixes (long pairs,
+    artifact floor) apply everywhere at once.
     """
-    chained_run(fn, variables, images, P_inv, planes, 2)  # compile + warm
+    n1, n2 = pair if pair is not None else (N1, N2)
+    chained_run_fn(run_once, images, scalar_of, 2)  # compile + warm
     estimates = []
     t_start = time.perf_counter()
     while True:
-        t1 = chained_run(fn, variables, images, P_inv, planes, N1)
-        t2 = chained_run(fn, variables, images, P_inv, planes, N2)
-        estimates.append((t2 - t1) / (N2 - N1))
+        t1 = chained_run_fn(run_once, images, scalar_of, n1)
+        t2 = chained_run_fn(run_once, images, scalar_of, n2)
+        estimates.append((t2 - t1) / (n2 - n1))
         elapsed = time.perf_counter() - t_start
         if elapsed >= window_secs and len(estimates) >= min_estimates:
             break
         time.sleep(min(10.0, max(0.5, window_secs / 15.0)))
     valid = robust_estimates(estimates)
     return min(valid), valid
+
+
+def measure_envelope(fn, variables, images, P_inv, planes,
+                     window_secs, min_estimates):
+    """measure_envelope_fn specialized to a detect-fn call signature."""
+    return measure_envelope_fn(
+        lambda im: fn(variables, im, P_inv, planes), images,
+        lambda o: o.scores[0, 0], window_secs, min_estimates)
 
 
 def robust_estimates(estimates):
@@ -175,19 +204,24 @@ def _retry_on_dead_relay(exc: BaseException) -> None:
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
-def _inputs(rng, batch):
+def _inputs(rng, batch, image_shape=None, n_planes=None):
+    """Synthetic bench inputs (KITTI-plausible calib + plane ranges).
+    Shape/plane count default to this module's config; tools profiling
+    other buckets pass their own."""
+    image_shape = IMAGE_SHAPE if image_shape is None else image_shape
+    n_planes = N_PLANES if n_planes is None else n_planes
     images = jnp.asarray(
-        rng.uniform(-128, 128, (batch, *IMAGE_SHAPE, 3)), jnp.float32)
+        rng.uniform(-128, 128, (batch, *image_shape, 3)), jnp.float32)
     P = np.array([[721.5, 0.0, 609.6, 44.9],
                   [0.0, 721.5, 172.9, 0.2],
                   [0.0, 0.0, 1.0, 0.003]])
     P_inv = jnp.asarray(
         np.tile(np.linalg.pinv(P)[None], (batch, 1, 1)), jnp.float32)
     planes = np.stack([
-        rng.uniform(-0.05, 0.05, N_PLANES),
-        np.ones(N_PLANES),
-        rng.uniform(-0.05, 0.05, N_PLANES),
-        rng.uniform(-2.5, -1.0, N_PLANES),
+        rng.uniform(-0.05, 0.05, n_planes),
+        np.ones(n_planes),
+        rng.uniform(-0.05, 0.05, n_planes),
+        rng.uniform(-2.5, -1.0, n_planes),
     ], axis=1)
     planes = jnp.asarray(np.tile(planes[None], (batch, 1, 1)), jnp.float32)
     return images, P_inv, planes

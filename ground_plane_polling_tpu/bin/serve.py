@@ -64,6 +64,14 @@ def parse_args(argv):
     return p.parse_args(argv)
 
 
+def _intake_cap(batch_size, int8_n):
+    """Max images decoded (and device_put) per poll round: a few batches'
+    worth keeps the upload/compute overlap fed without staging an
+    unbounded backlog in HBM; int8 calibration needs its full sample in
+    the first round (scales are collected before the first dispatch)."""
+    return max(4 * batch_size, int(int8_n or 0))
+
+
 def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
 
@@ -186,6 +194,13 @@ def main(argv=None):
     latencies: list = []
     total = 0
     t_start = time.time()
+    # bound how much backlog one round decodes: every loaded item holds a
+    # device-resident canvas (~1.7 MB at 416x1344), so sweeping an
+    # unbounded `fresh` list would stage the WHOLE backlog in HBM before
+    # the first dispatch. Leftover stems stay un-done and are picked up
+    # by the next round immediately (no poll sleep while fresh is
+    # non-empty), so a big backlog drains in bounded-memory rounds.
+    intake_cap = _intake_cap(args.batch_size, args.int8)
     while True:
         # set-dedupe: stem.png + stem.jpg must not process twice
         stems = sorted({
@@ -198,6 +213,7 @@ def main(argv=None):
                 break
             time.sleep(args.poll_interval)
             continue
+        fresh = fresh[:intake_cap]
 
         buckets = {}
         for stem in fresh:

@@ -90,10 +90,15 @@ def uint8_canvas(resized: np.ndarray, ph: int, pw: int) -> np.ndarray:
     on the host->device link than f32; pair with a detect function built
     with device_preprocess=True (cast + mean subtraction on device)."""
     canvas = np.zeros((ph, pw, 3), np.uint8)
-    # clip before the cast: uint8 wraps on out-of-range values, which
-    # would turn an upstream resize bug into silent 255-off pixels
-    canvas[: resized.shape[0], : resized.shape[1]] = \
-        np.rint(np.clip(resized, 0.0, 255.0)).astype(np.uint8)
+    if resized.dtype == np.uint8:
+        # already quantized (e.g. _resize_image_uint8): rint/clip is the
+        # identity on uint8, so skip the two full-frame temporaries
+        canvas[: resized.shape[0], : resized.shape[1]] = resized
+    else:
+        # clip before the cast: uint8 wraps on out-of-range values, which
+        # would turn an upstream resize bug into silent 255-off pixels
+        canvas[: resized.shape[0], : resized.shape[1]] = \
+            np.rint(np.clip(resized, 0.0, 255.0)).astype(np.uint8)
     return canvas
 
 
@@ -117,8 +122,7 @@ def prepare_network_frame(image_path: str, calib_path: str,
     resized = _resize_image_uint8(raw, scale)
     ph = int(np.ceil(resized.shape[0] / pad_multiple)) * pad_multiple
     pw = int(np.ceil(resized.shape[1] / pad_multiple)) * pad_multiple
-    image = np.zeros((ph, pw, 3), np.uint8)
-    image[: resized.shape[0], : resized.shape[1]] = resized
+    image = uint8_canvas(resized, ph, pw)
     P = read_calibration(calib_path)
     P_inv = np.linalg.pinv(np.diag([scale, scale, 1.0]) @ P)
     return {"raw": raw, "scale": scale, "image": image,

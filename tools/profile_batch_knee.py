@@ -32,12 +32,18 @@ import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-import time
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the measurement protocol (differencing pairs, envelope window, artifact
+# floor, validated pair parsing, synthetic inputs) is bench.py's — import
+# it so protocol fixes apply to every harness at once
+from bench import _inputs, measure_envelope_fn, parse_pair  # noqa: E402
 from ground_plane_polling_tpu.inference import (decode_predictions,
                                                 make_detect_fn)
 from ground_plane_polling_tpu.models import (build_detector,
@@ -53,50 +59,18 @@ BATCHES = [int(b) for b in
            os.environ.get("GPP_KNEE_BATCHES", "2,4,8").split(",")]
 WINDOW_SECS = float(os.environ.get("GPP_KNEE_WINDOW_SECS", 45))
 WITH_INT8 = os.environ.get("GPP_KNEE_INT8", "1") == "1"
-N1, N2 = (int(n) for n in
-          os.environ.get("GPP_KNEE_PAIR", "25,125").split(","))
+PAIR = parse_pair("GPP_KNEE_PAIR")
 
 
 def envelope(fn, images, scalar_of, window_secs=WINDOW_SECS):
     """min/median differenced per-iter seconds across a time window."""
-    def run(iters):
-        carry = jnp.zeros((), jnp.float32)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(images + carry)
-            carry = scalar_of(out) * 0.0
-        np.asarray(carry)
-        return time.perf_counter() - t0
-
-    run(2)  # compile + warm
-    estimates = []
-    t_start = time.perf_counter()
-    while True:
-        t1, t2 = run(N1), run(N2)
-        estimates.append((t2 - t1) / (N2 - N1))
-        if time.perf_counter() - t_start >= window_secs and \
-                len(estimates) >= 3:
-            break
-        time.sleep(3.0)
-    pos = sorted(e for e in estimates if e > 0)
-    floor = pos[len(pos) // 2] / 2.0  # mid-pair-flip artifact guard
-    valid = [e for e in pos if e >= floor]
-    return min(valid), valid[len(valid) // 2]
+    best, valid = measure_envelope_fn(fn, images, scalar_of,
+                                      window_secs, 3, pair=PAIR)
+    return best, valid[len(valid) // 2]
 
 
 def inputs(rng, batch):
-    images = jnp.asarray(
-        rng.uniform(-128, 128, (batch, *IMAGE_SHAPE, 3)), jnp.float32)
-    P = np.array([[721.5, 0.0, 609.6, 44.9],
-                  [0.0, 721.5, 172.9, 0.2], [0.0, 0.0, 1.0, 0.003]])
-    P_inv = jnp.asarray(
-        np.tile(np.linalg.pinv(P)[None], (batch, 1, 1)), jnp.float32)
-    planes = np.stack([
-        rng.uniform(-0.05, 0.05, N_PLANES), np.ones(N_PLANES),
-        rng.uniform(-0.05, 0.05, N_PLANES),
-        rng.uniform(-2.5, -1.0, N_PLANES)], axis=1)
-    planes = jnp.asarray(np.tile(planes[None], (batch, 1, 1)), jnp.float32)
-    return images, P_inv, planes
+    return _inputs(rng, batch, IMAGE_SHAPE, N_PLANES)
 
 
 def profile_config(label, model, variables, quant_scales, rng):

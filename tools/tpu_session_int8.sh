@@ -21,7 +21,10 @@ retry python -m ground_plane_polling_tpu.bin.evaluate \
   "$MODEL" "$DATA" --subset val --eval-batch 4 --int8 8 || true
 
 echo "=== I3. bench: bf16 headline + int8 aux (same process) ==="
+# bench protocol changed (b4 headline + b1/b2/int8 aux lines):
+# quick run = short headline window + int8 aux, other aux lines off
 GPP_BENCH_INT8_WINDOW_SECS=90 GPP_BENCH_WINDOW_SECS=120 \
-  GPP_BENCH_B4_WINDOW_SECS=45 retry python bench.py || true
+  GPP_BENCH_B1_WINDOW_SECS=45 GPP_BENCH_AUX_WINDOW_SECS=0 \
+  retry python bench.py || true
 
 echo "=== session I done ==="

@@ -20,8 +20,9 @@ done
 
 for B in 2 8; do
   echo "=== J. int8 bench b$B ==="
+  # BATCH != 1 measures only that batch as the headline (aux lines
+  # are skipped automatically on batch-override runs)
   GPP_BENCH_INT8=1 GPP_BENCH_BATCH=$B GPP_BENCH_WINDOW_SECS=90 \
-    GPP_BENCH_B4_WINDOW_SECS=0 GPP_BENCH_INT8_WINDOW_SECS=0 \
     retry python bench.py || true
 done
 

@@ -12,9 +12,10 @@ MODEL=${MODEL:-/tmp/full_res_long/model.npz}
 DATA=${DATA:-/tmp/full_res_kitti}
 
 echo "=== K1. bench int8+fuse b4 ==="
+# BATCH != 1 measures only that batch as the headline (aux lines
+# are skipped automatically on batch-override runs)
 GPP_BENCH_INT8=1 GPP_BENCH_FUSE=1 GPP_BENCH_BATCH=4 \
-  GPP_BENCH_WINDOW_SECS=90 GPP_BENCH_B4_WINDOW_SECS=0 \
-  GPP_BENCH_INT8_WINDOW_SECS=0 retry python bench.py || true
+  GPP_BENCH_WINDOW_SECS=90 retry python bench.py || true
 
 echo "=== K2. int8 eval p99.9, mean aggregation ==="
 retry python -m ground_plane_polling_tpu.bin.evaluate \
