@@ -258,8 +258,9 @@ def main(argv=None):
         print(f"served {n_round} images in {dt:.2f}s "
               f"({n_round / max(dt, 1e-9):.1f} img/s); total {total}",
               flush=True)
-        if args.once and not args.poll_interval:
-            break
+        # no --once break here: a backlog bigger than intake_cap must
+        # drain over further rounds; the empty-`fresh` check above is
+        # the only --once exit, so nothing is silently dropped
     if total:
         line = f"done: {total} images in {time.time() - t_start:.2f}s"
         if latencies:

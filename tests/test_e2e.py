@@ -293,6 +293,50 @@ def test_serve_cli(trained, tmp_path):
         assert os.path.exists(os.path.join(out_dir, stem + ".txt"))
 
 
+def test_serve_once_drains_backlog_beyond_intake_cap(trained, tmp_path):
+    """A pre-existing backlog larger than the per-round intake cap must
+    fully drain under --once (the cap bounds per-round HBM staging, not
+    the total; a capped first round must not be the last)."""
+    import shutil
+
+    kitti_root, out, _ = trained
+    from ground_plane_polling_tpu.bin.convert_model import main as convert
+    from ground_plane_polling_tpu.bin.serve import _intake_cap
+    from ground_plane_polling_tpu.bin.serve import main as serve
+
+    snaps = os.path.join(out, "snapshots")
+    latest = sorted(os.listdir(snaps))[-1]
+    model_out = str(tmp_path / "serve_model.npz")
+    convert([os.path.join(snaps, latest), model_out, "--backbone", "tiny"])
+
+    # replicate the 2 val images into a 6-stem backlog > cap(batch=1)=4
+    src_img = os.path.join(kitti_root, "val", "images")
+    src_cal = os.path.join(kitti_root, "val", "calibs")
+    img_dir, cal_dir = tmp_path / "backlog_img", tmp_path / "backlog_cal"
+    img_dir.mkdir(), cal_dir.mkdir()
+    srcs = sorted(os.listdir(src_img))
+    n_backlog = 6
+    assert n_backlog > _intake_cap(1, 0)
+    for i in range(n_backlog):
+        src = srcs[i % len(srcs)]
+        ext = src.rsplit(".", 1)[1]
+        stem = f"{i:06d}"
+        shutil.copy(os.path.join(src_img, src), img_dir / f"{stem}.{ext}")
+        shutil.copy(os.path.join(src_cal, src.rsplit(".", 1)[0] + ".txt"),
+                    cal_dir / f"{stem}.txt")
+
+    out_dir = str(tmp_path / "served_backlog")
+    n = serve([
+        model_out, str(img_dir), str(cal_dir),
+        os.path.join(kitti_root, "road_planes_database.mat"),
+        out_dir, "--batch-size", "1", "--once", "--no-bf16",
+        "--poll-interval", "0",
+    ])
+    assert n == n_backlog
+    for i in range(n_backlog):
+        assert os.path.exists(os.path.join(out_dir, f"{i:06d}.txt"))
+
+
 @pytest.mark.slow
 def test_run_network_fuse_towers_identical(trained, tmp_path):
     """--fuse-towers (block-diagonal cls+dim tower) produces identical
