@@ -159,7 +159,7 @@ def measure_envelope_fn(run_once, images, scalar_of,
             break
         time.sleep(min(10.0, max(0.5, window_secs / 15.0)))
     valid = robust_estimates(estimates)
-    return min(valid), valid
+    return corroborated_envelope(valid), valid
 
 
 def measure_envelope(fn, variables, images, P_inv, planes,
@@ -168,6 +168,29 @@ def measure_envelope(fn, variables, images, P_inv, planes,
     return measure_envelope_fn(
         lambda im: fn(variables, im, P_inv, planes), images,
         lambda o: o.scores[0, 0], window_secs, min_estimates)
+
+
+def corroborated_envelope(valid, tol=0.03):
+    """Fastest per-iter time SUPPORTED by a second independent estimate
+    within `tol` (3%).
+
+    robust_estimates' 2x floor only drops gross differencing artifacts;
+    a mid-pair phase flip can still mint a single estimate ~1.3-1.5x the
+    window median (observed round 4: a 231.8 img/s b1 "envelope", 1.46x
+    the 158.7 median, vs the corroborated 188.8 record at this bucket).
+    A real clear-path phase lasts minutes and is sampled several times
+    across the 10 s-spaced window, so the true envelope always has a
+    neighbour within a few percent; an artifact appears exactly once.
+    With no supported estimate anywhere, the SECOND-fastest time wins
+    (conservative: one unsupported outlier never sets the envelope); a
+    single-estimate window is returned unchanged."""
+    ts = sorted(valid)
+    if len(ts) == 1:
+        return ts[0]
+    for i in range(len(ts) - 1):
+        if ts[i + 1] <= ts[i] * (1.0 + tol):
+            return ts[i]
+    return ts[1]
 
 
 def robust_estimates(estimates):

@@ -26,6 +26,29 @@ def test_robust_estimates_all_invalid_raises():
         bench.robust_estimates([-0.1, 0.0])
 
 
+def test_corroborated_envelope_ignores_single_outlier():
+    """A lone fast estimate (mid-pair phase flip under the 2x floor —
+    round-4 observed 1.46x median) cannot set the envelope; the fastest
+    SUPPORTED estimate wins."""
+    # per-iter seconds: cluster at ~6.3 ms plus one uncorroborated 4.3 ms
+    est = [0.0043, 0.0063, 0.00635, 0.0064, 0.0068, 0.0070]
+    assert bench.corroborated_envelope(est) == 0.0063
+
+
+def test_corroborated_envelope_keeps_supported_fast_phase():
+    """Two clear-path samples within 3% of each other define the
+    envelope even when most of the window sat in the slow phase."""
+    est = [0.0057, 0.00575, 0.0074, 0.0075, 0.0076]
+    assert bench.corroborated_envelope(est) == 0.0057
+
+
+def test_corroborated_envelope_degenerate_windows():
+    # all-isolated estimates: the second-fastest wins (one unsupported
+    # outlier never sets the envelope); singleton passes through
+    assert bench.corroborated_envelope([0.004, 0.006, 0.009]) == 0.006
+    assert bench.corroborated_envelope([0.0071]) == 0.0071
+
+
 def test_pair_env_override(monkeypatch):
     """GPP_BENCH_PAIR selects the differencing pair; default is the
     long (25,125) pair (mid-pair phase flips average out inside one
