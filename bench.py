@@ -6,12 +6,20 @@ in images/sec, against BASELINE.md's 10 fps reference estimate.
 
 HEADLINE = batch-4 aggregate throughput (`gpp_resnet50_e2e_throughput_b4`).
 Chosen for phase-robustness (round-3 VERDICT item 8): the b4 aggregate
-reproduced within 2.2% across three independent sessions on different days
+reproduced within 2.2% across three clear-relay builder sessions
 (203.9 / 207.8 / 208.3 img/s, docs/PERFORMANCE.md sessions I/L/N) while the
-batch-1 envelope spanned 149.8-176.8 purely with relay phase. The b1
+batch-1 envelope spanned 149.8-176.8 purely with relay phase. HONEST
+spread across ALL recorded captures including degraded-relay windows is
+wider: the round-4 driver capture landed at 196.4 (~6% below the
+clear-relay band; docs/PERFORMANCE.md "Round 4/5 bench captures"). Every
+measurement therefore emits a gpp_phase_evidence_* line (envelope/median
+gap, rate min/median/max, window, pair) so a reader can tell a device
+regression from relay weather without trusting the builder. The b1
 single-image envelope + median remain as aux lines for round-over-round
 comparability with BENCH_r0{1,2,3}.json (whose headline was the b1
-envelope).
+envelope) — NOTE: from r04 the estimator under those names is STRICTER
+(corroborated + median-capped min, see below) and reads <= the raw-min
+envelope BENCH_r0{1,2,3} used on identical samples.
 
 Timing protocol (important on this remote-relay setup, where
 block_until_ready returns before device completion): iterations are CHAINED
@@ -28,9 +36,12 @@ window (headline: GPP_BENCH_WINDOW_SECS, default 180 s; b1 aux:
 GPP_BENCH_B1_WINDOW_SECS, default 300 s — the same window the BENCH_r0{1,2,3}
 b1 envelopes were measured over; session M showed a 150 s window can sample
 only a degraded band (headline 149.8 vs 175-177 real). Relay phases flip on
-minute scales; estimates ~10 s apart) and reports the fastest — the
-clear-path envelope, which tracks the device's actual throughput rather
-than the relay's mood.
+minute scales; estimates ~10 s apart) and reports the CORROBORATED
+envelope — the fastest estimate supported by a second independent estimate
+within 3% and no faster than 1.35x the window median (the measured phase
+ratio); see corroborated_envelope. This tracks the device's actual
+clear-path throughput rather than the relay's mood, and is immune to the
+single- and double-artifact inflation modes raw min suffers.
 
 The differencing pair is LONG — (N1, N2) = (25, 125) — because a relay
 phase flip BETWEEN a pair's two runs shrinks t2-t1 and inflates the
@@ -170,9 +181,9 @@ def measure_envelope(fn, variables, images, P_inv, planes,
         lambda o: o.scores[0, 0], window_secs, min_estimates)
 
 
-def corroborated_envelope(valid, tol=0.03):
+def corroborated_envelope(valid, tol=0.03, cap_ratio=1.35):
     """Fastest per-iter time SUPPORTED by a second independent estimate
-    within `tol` (3%).
+    within `tol` (3%) AND no faster than `cap_ratio`x the window median.
 
     robust_estimates' 2x floor only drops gross differencing artifacts;
     a mid-pair phase flip can still mint a single estimate ~1.3-1.5x the
@@ -180,17 +191,24 @@ def corroborated_envelope(valid, tol=0.03):
     the 158.7 median, vs the corroborated 188.8 record at this bucket).
     A real clear-path phase lasts minutes and is sampled several times
     across the 10 s-spaced window, so the true envelope always has a
-    neighbour within a few percent; an artifact appears exactly once.
-    With no supported estimate anywhere, the SECOND-fastest time wins
-    (conservative: one unsupported outlier never sets the envelope); a
-    single-estimate window is returned unchanged."""
+    neighbour within a few percent; an artifact usually appears once.
+    TWO independent mid-pair flips can land within 3% of each other and
+    corroborate a phantom, so candidates faster than cap_ratio x the
+    median are rejected outright — 1.35 is the measured bimodal phase
+    ratio (docs/PERFORMANCE.md session G), the largest envelope/median
+    gap a real clear-path phase can produce. With no supported estimate
+    anywhere, the SECOND-fastest capped time wins (conservative: one
+    unsupported outlier never sets the envelope); a single-estimate
+    window is returned unchanged."""
     ts = sorted(valid)
     if len(ts) == 1:
         return ts[0]
-    for i in range(len(ts) - 1):
-        if ts[i + 1] <= ts[i] * (1.0 + tol):
-            return ts[i]
-    return ts[1]
+    floor = ts[len(ts) // 2] / cap_ratio
+    capped = [t for t in ts if t >= floor]
+    for i in range(len(capped) - 1):
+        if capped[i + 1] <= capped[i] * (1.0 + tol):
+            return capped[i]
+    return capped[1] if len(capped) > 1 else capped[0]
 
 
 def robust_estimates(estimates):
@@ -268,6 +286,33 @@ def emit(metric, value, unit, vs_baseline):
           flush=True)
 
 
+def emit_phase_evidence(label, batch, per_iter, estimates, window_secs):
+    """Relay-phase evidence attached to a measurement window (round-4
+    VERDICT item 2): enough statistics that a reader can tell a device
+    regression (envelope AND median low, tight spread) from relay weather
+    (wide envelope/median gap, or a window whose whole rate range sits in
+    the degraded band) without trusting the builder. Extra keys beyond
+    the driver's 4-field schema are legal on aux lines — the driver
+    parses only the FINAL stdout line."""
+    rates = sorted(batch / e for e in estimates)
+    median = rates[len(rates) // 2]
+    envelope = batch / per_iter
+    rec = {
+        "metric": f"gpp_phase_evidence_{label}",
+        "value": round(100.0 * (envelope / median - 1.0), 3),
+        "unit": "pct_envelope_above_median",
+        "vs_baseline": 0.0,
+        "n_estimates": len(rates),
+        "rate_min": round(rates[0], 3),
+        "rate_median": round(median, 3),
+        "rate_max_raw": round(rates[-1], 3),
+        "rate_envelope": round(envelope, 3),
+        "window_secs": window_secs,
+        "pair": [N1, N2],
+    }
+    print(json.dumps(rec), flush=True)
+
+
 def main():
     from ground_plane_polling_tpu.inference import make_detect_fn
     from ground_plane_polling_tpu.models import build_detector
@@ -311,6 +356,8 @@ def main():
         median_1 = rates_1[len(rates_1) // 2]
         emit(f"gpp_b1_estimate_spread_median_n{len(rates_1)}{suffix}",
              median_1, "images/sec/chip", median_1 / REFERENCE_FPS_ESTIMATE)
+        emit_phase_evidence(f"b1{suffix}", 1, per_iter_1, estimates_1,
+                            B1_WINDOW_SECS)
         flops = _flops_per_call(fn, variables, images, P_inv, planes)
         if flops is not None and not INT8:
             tflops = flops / per_iter_1 / 1e12
@@ -376,6 +423,8 @@ def main():
     emit(f"gpp_b{headline_batch}_estimate_spread_median_n{len(rates)}"
          f"{suffix}", median, "images/sec/chip",
          median / REFERENCE_FPS_ESTIMATE)
+    emit_phase_evidence(f"b{headline_batch}{suffix}", headline_batch,
+                        per_iter, estimates, WINDOW_SECS)
 
     # headline LAST: the driver parses the final JSON line
     emit(f"gpp_resnet50_e2e_throughput_b{headline_batch}{suffix}",

@@ -26,6 +26,16 @@ def _ckpt_path(ckpt_dir: str, step: int) -> str:
     return os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
 
 
+@jax.jit
+def _tree_copy(tree):
+    """Fresh device buffers for a whole pytree in one compiled program
+    (jit caches per tree structure; input shardings are preserved on the
+    copies, so mesh-resident states stay mesh-resident)."""
+    import jax.numpy as jnp
+
+    return jax.tree.map(jnp.copy, tree)
+
+
 def save_checkpoint(ckpt_dir: str, state: TrainState) -> str:
     import orbax.checkpoint as ocp
 
@@ -69,8 +79,12 @@ class AsyncCheckpointSaver:
         self.wait()
         path = _ckpt_path(ckpt_dir, int(state.step))
         # independent device buffers: donation of `state` by the next
-        # train step cannot invalidate them
-        copy = jax.tree.map(jnp.copy, state._asdict())
+        # train step cannot invalidate them. ONE jitted program for the
+        # whole tree: eager per-leaf jnp.copy dispatches a jit(copy) per
+        # distinct leaf shape — measured 256 s of cold micro-compiles for
+        # the 171-leaf resnet50 TrainState on the dryrun box vs one
+        # ~second tree-copy compile (round-5 dryrun sub-stage timings).
+        copy = _tree_copy(state._asdict())
 
         def _write():
             try:

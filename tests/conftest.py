@@ -19,11 +19,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+from ground_plane_polling_tpu._cachedir import cpu_cache_dir  # noqa: E402
+
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache for the CPU lane: this box has ONE CPU and the
 # lane is compile-bound (~700 s cold), so repeat runs hitting the cache
-# cut most of that. Code changes alter the HLO and miss cleanly.
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
+# cut most of that. Code changes alter the HLO and miss cleanly. The dir
+# is keyed by host CPU features (restarts land on different machine
+# types; foreign AOT entries risk SIGILL — see _cachedir.py).
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402

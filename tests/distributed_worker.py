@@ -19,11 +19,13 @@ import sys
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ground_plane_polling_tpu._cachedir import cpu_cache_dir  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():

@@ -43,10 +43,50 @@ def test_corroborated_envelope_keeps_supported_fast_phase():
 
 
 def test_corroborated_envelope_degenerate_windows():
-    # all-isolated estimates: the second-fastest wins (one unsupported
-    # outlier never sets the envelope); singleton passes through
-    assert bench.corroborated_envelope([0.004, 0.006, 0.009]) == 0.006
+    # all-isolated estimates: the 0.004 outlier is capped out (1.5x the
+    # 0.006 median > the 1.35x phase ratio), then the second-fastest
+    # CAPPED estimate wins (one unsupported outlier never sets the
+    # envelope); singleton passes through
+    assert bench.corroborated_envelope([0.004, 0.006, 0.009]) == 0.009
     assert bench.corroborated_envelope([0.0071]) == 0.0071
+
+
+def test_corroborated_envelope_rejects_twin_artifacts():
+    """TWO independent mid-pair flips can land within 3% of each other
+    and corroborate a phantom; the median-relative cap (1.35x, the
+    measured bimodal phase ratio) rejects them regardless (round-4
+    ADVICE item)."""
+    # twin artifacts at ~1.56x the 0.0064 median, mutually within 3%
+    est = [0.0040, 0.0041, 0.0063, 0.0064, 0.0065, 0.0068, 0.0070]
+    assert bench.corroborated_envelope(est) == 0.0063
+    # a REAL clear-path pair inside the 1.35x cap still wins
+    est2 = [0.0050, 0.00505, 0.0064, 0.0065, 0.0066]
+    assert bench.corroborated_envelope(est2) == 0.0050
+
+
+def test_phase_evidence_line_content(monkeypatch):
+    """The phase-evidence aux line carries the envelope/median gap plus
+    the raw rate spread so a reader can tell a device regression from
+    relay weather (round-4 VERDICT item 2)."""
+    import json
+
+    lines = []
+    monkeypatch.setattr("builtins.print",
+                        lambda *a, **k: lines.append(a[0] if a else ""))
+    bench.emit_phase_evidence("b4", 4, 0.02, [0.02, 0.021, 0.027], 180.0)
+    rec = json.loads(lines[-1])
+    assert rec["metric"] == "gpp_phase_evidence_b4"
+    assert rec["unit"] == "pct_envelope_above_median"
+    assert rec["rate_envelope"] == 200.0
+    median = 4 / 0.021
+    assert rec["rate_median"] == pytest.approx(median, abs=0.01)
+    assert rec["value"] == pytest.approx(100 * (200.0 / median - 1),
+                                         abs=0.01)
+    assert rec["rate_min"] == pytest.approx(4 / 0.027, abs=0.01)
+    assert rec["rate_max_raw"] == 200.0
+    assert rec["n_estimates"] == 3
+    assert rec["pair"] == [bench.N1, bench.N2]
+    assert rec["window_secs"] == 180.0
 
 
 def test_pair_env_override(monkeypatch):
@@ -111,9 +151,11 @@ def test_main_emits_aux_then_b4_headline(monkeypatch):
     assert metrics == [
         "gpp_resnet50_e2e_inference",
         "gpp_b1_estimate_spread_median_n3",
+        "gpp_phase_evidence_b1",
         "gpp_resnet50_e2e_mfu",
         "gpp_resnet50_e2e_inference_b2",
         "gpp_b4_estimate_spread_median_n3",
+        "gpp_phase_evidence_b4",
         "gpp_resnet50_e2e_throughput_b4",
     ]
 
@@ -124,6 +166,7 @@ def test_main_batch_override_measures_only_that_batch(monkeypatch):
     metrics = _run_main_with_stubs(monkeypatch, batch=8)
     assert metrics == [
         "gpp_b8_estimate_spread_median_n3",
+        "gpp_phase_evidence_b8",
         "gpp_resnet50_e2e_throughput_b8",
     ]
 

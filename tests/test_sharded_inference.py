@@ -151,6 +151,66 @@ def test_spatial_sharded_detect_matches_single(rng):
 
 
 @pytest.mark.slow
+def test_pallas_polling_sharded_matches_jnp(rng):
+    """Pallas polling under the mesh (interpret mode on CPU; compiled
+    Mosaic on real chips) must match the jnp einsum-chain polling on the
+    same sharded batch — the serving config at >=1024 planes. This is the
+    slow-lane twin of dryrun_multichip's GPP_DRYRUN_FULL Pallas stage."""
+    assert jax.device_count() >= 8
+    model = build_detector("tiny")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, *IMG, 3), jnp.float32))
+    images, P_inv, planes = _inputs(8, rng)
+    mesh = data_parallel_mesh(8)
+
+    plain = make_detect_fn(model, IMG, with_pose=True, mesh=mesh)
+    pallas = make_detect_fn(model, IMG, with_pose=True, mesh=mesh,
+                            use_pallas_polling=True)
+
+    a = plain(variables, images, P_inv, planes)
+    b = pallas(variables, images, P_inv, planes)
+    np.testing.assert_allclose(np.asarray(b.residuals),
+                               np.asarray(a.residuals),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(a.orientations),
+                                  np.asarray(b.orientations))
+
+
+@pytest.mark.slow
+def test_int8_ptq_sharded_matches_single(rng):
+    """int8-PTQ inference (jaxpr-interceptor quantization,
+    models/quantize.py) must compose with pjit sharding: sharded int8
+    scores match single-device int8 scores exactly, and stay within the
+    PTQ tolerance of the unquantized path. Slow-lane twin of
+    dryrun_multichip's GPP_DRYRUN_FULL int8 stage."""
+    from ground_plane_polling_tpu.models.quantize import collect_scales
+
+    assert jax.device_count() >= 8
+    model = build_detector("tiny")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, *IMG, 3), jnp.float32))
+    images, P_inv, planes = _inputs(8, rng)
+
+    scales = collect_scales(lambda v, im: model.apply(v, im),
+                            [(variables, jnp.asarray(images))],
+                            percentile=99.9)
+    single_q = make_detect_fn(model, IMG, with_pose=True,
+                              quant_scales=scales)
+    sharded_q = make_detect_fn(model, IMG, with_pose=True,
+                               mesh=data_parallel_mesh(8),
+                               quant_scales=scales)
+    plain = make_detect_fn(model, IMG, with_pose=True)
+
+    a = single_q(variables, images, P_inv, planes)
+    b = sharded_q(variables, images, P_inv, planes)
+    ref = plain(variables, images, P_inv, planes)
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b.scores),
+                               np.asarray(ref.scores), atol=0.05)
+
+
+@pytest.mark.slow
 def test_eval_batch_matches_batch1(tmp_path):
     """Single-device eval batching (eval_batch>1) must reproduce the
     batch-1 sweep exactly (same grouping/pad/mask machinery as the mesh

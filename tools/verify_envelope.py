@@ -26,7 +26,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import (IMAGE_SHAPE, TOP_K, _inputs, chained_run,  # noqa: E402
-                   robust_estimates)
+                   corroborated_envelope, robust_estimates)
 
 WINDOW_SECS = 180.0
 
@@ -64,9 +64,14 @@ def main():
         res = measure(fn, variables, images, P_inv, planes,
                       [(5, 25), (25, 125)])
         for (n1, n2), est in sorted(res.items()):
+            # raw envelope (max rate) is printed deliberately — this tool
+            # DIAGNOSES the differencing artifact, so the uncorrected value
+            # is the signal; the corroborated column is what bench.py's
+            # shared protocol would report on the same samples.
             rates = sorted(b / e for e in est)
             print(f"b{b} pair=({n1},{n2}) n={len(rates)} "
-                  f"envelope={rates[-1]:.1f} img/s "
+                  f"raw_envelope={rates[-1]:.1f} img/s "
+                  f"corroborated={b / corroborated_envelope(est):.1f} "
                   f"median={rates[len(rates) // 2]:.1f} "
                   f"min={rates[0]:.1f}", flush=True)
 
