@@ -198,17 +198,22 @@ def corroborated_envelope(valid, tol=0.03, cap_ratio=1.35):
     ratio (docs/PERFORMANCE.md session G), the largest envelope/median
     gap a real clear-path phase can produce. With no supported estimate
     anywhere, the SECOND-fastest capped time wins (conservative: one
-    unsupported outlier never sets the envelope); a single-estimate
-    window is returned unchanged."""
+    unsupported outlier never sets the envelope) but never anything
+    slower than the window median — in a sparse window the cap can
+    drop the fastest estimate and leave the median itself at capped[0],
+    and skipping past it would report a sub-median "envelope" that
+    reads as a device regression. A single-estimate window is returned
+    unchanged."""
     ts = sorted(valid)
     if len(ts) == 1:
         return ts[0]
-    floor = ts[len(ts) // 2] / cap_ratio
+    median = ts[len(ts) // 2]
+    floor = median / cap_ratio
     capped = [t for t in ts if t >= floor]
     for i in range(len(capped) - 1):
         if capped[i + 1] <= capped[i] * (1.0 + tol):
             return capped[i]
-    return capped[1] if len(capped) > 1 else capped[0]
+    return min(capped[1], median) if len(capped) > 1 else capped[0]
 
 
 def robust_estimates(estimates):

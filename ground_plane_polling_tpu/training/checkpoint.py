@@ -14,6 +14,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .train import TrainState
@@ -31,8 +32,6 @@ def _tree_copy(tree):
     """Fresh device buffers for a whole pytree in one compiled program
     (jit caches per tree structure; input shardings are preserved on the
     copies, so mesh-resident states stay mesh-resident)."""
-    import jax.numpy as jnp
-
     return jax.tree.map(jnp.copy, tree)
 
 
@@ -73,7 +72,6 @@ class AsyncCheckpointSaver:
     def save(self, ckpt_dir: str, state: TrainState) -> str:
         import threading
 
-        import jax.numpy as jnp
         import orbax.checkpoint as ocp
 
         self.wait()

@@ -44,11 +44,16 @@ def test_corroborated_envelope_keeps_supported_fast_phase():
 
 def test_corroborated_envelope_degenerate_windows():
     # all-isolated estimates: the 0.004 outlier is capped out (1.5x the
-    # 0.006 median > the 1.35x phase ratio), then the second-fastest
-    # CAPPED estimate wins (one unsupported outlier never sets the
-    # envelope); singleton passes through
-    assert bench.corroborated_envelope([0.004, 0.006, 0.009]) == 0.009
+    # 0.006 median > the 1.35x phase ratio); the fallback never skips
+    # PAST the median — returning 0.009 here would report a sub-median
+    # "envelope" that reads as a device regression (round-5 review)
+    assert bench.corroborated_envelope([0.004, 0.006, 0.009]) == 0.006
     assert bench.corroborated_envelope([0.0071]) == 0.0071
+    # when the uncorroborated fallback's second-fastest capped estimate
+    # is FASTER than the median, it still wins (one unsupported outlier
+    # never sets the envelope)
+    assert bench.corroborated_envelope(
+        [0.0050, 0.0054, 0.0060, 0.0062, 0.0090]) == 0.0054
 
 
 def test_corroborated_envelope_rejects_twin_artifacts():

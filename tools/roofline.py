@@ -35,7 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-PEAK_TFLOPS = 184.0  # measured bf16 matmul ceiling (docs/PERFORMANCE.md)
+# single source of truth for the measured bf16 matmul ceiling — the MFU
+# line this tool is reconciled against divides by the same constant
+from bench import PEAK_BF16_TFLOPS as PEAK_TFLOPS
 
 
 def conv_records(hlo_text):

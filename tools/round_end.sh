@@ -31,10 +31,12 @@ PALLAS_AXON_POOL_IPS= timeout 1800 python -m pytest tests/ -q -m slow
 check "slow-lane" $?
 
 note "3/5 dryrun_multichip(8) core tier (driver contract)"
-DRYRUN_CACHE_ARGS=()
+COLD_CACHE_DIR=""
 if [ "${GPP_ROUND_END_COLD:-0}" = "1" ]; then
   # time against an empty cache — the number a fresh driver box pays
-  export GPP_CPU_CACHE_DIR="$(mktemp -d /tmp/gpp_coldcache.XXXX)"
+  COLD_CACHE_DIR="$(mktemp -d /tmp/gpp_coldcache.XXXX)"
+  export GPP_CPU_CACHE_DIR="$COLD_CACHE_DIR"
+  trap '[ -n "$COLD_CACHE_DIR" ] && rm -rf "$COLD_CACHE_DIR"' EXIT
   echo "cold-cache mode: GPP_CPU_CACHE_DIR=$GPP_CPU_CACHE_DIR"
 fi
 t0=$(date +%s)
@@ -68,7 +70,7 @@ import json, sys
 rec = json.loads(sys.stdin.read())
 assert rec["metric"].startswith("gpp_resnet50_e2e_throughput_b"), rec
 assert rec["value"] > 0, rec
-print(f"headline ok: {rec[\"metric\"]} = {rec[\"value\"]}")
+print("headline ok: %s = %s" % (rec["metric"], rec["value"]))
 '
     check "bench-headline-parse" $?
   fi
