@@ -14,14 +14,14 @@ echo "logging to $LOG"
 note() { printf '\n=== %s ===\n' "$*" | tee -a "$LOG"; }
 
 note "1/3 HBM bandwidth microbench"
-retry 3 env JAX_COMPILATION_CACHE_DIR=/root/.jax_cache \
+retry env JAX_COMPILATION_CACHE_DIR=/root/.jax_cache \
   JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1 \
   timeout 900 python tools/bench_hbm.py 2>&1 | tee -a "$LOG"
 BW=$(grep -o "hbm-gbps [0-9]*" "$LOG" | tail -1 | awk '{print $2}')
 echo "measured BW: ${BW:-unmeasured} GB/s" | tee -a "$LOG"
 
 note "2/3 full bench.py (phase-evidence lines included)"
-retry 3 env JAX_COMPILATION_CACHE_DIR=/root/.jax_cache \
+retry env JAX_COMPILATION_CACHE_DIR=/root/.jax_cache \
   JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1 \
   timeout 3000 python bench.py 2>&1 | tee -a "$LOG"
 
