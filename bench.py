@@ -14,7 +14,14 @@ wider: the round-4 driver capture landed at 196.4 (~6% below the
 clear-relay band; docs/PERFORMANCE.md "Round 4/5 bench captures"). Every
 measurement therefore emits a gpp_phase_evidence_* line (envelope/median
 gap, rate min/median/max, window, pair) so a reader can tell a device
-regression from relay weather without trusting the builder. The b1
+regression from relay weather without trusting the builder; and any
+batch>1 window whose aggregate rate lands BELOW this run's own b1
+envelope — physically impossible off a stalled relay — is re-measured
+once after a settle delay, with a gpp_window_stall_retry_* line
+recording the discarded attempt (observed 2026-08-21: a fully-stalled
+60 s window 'measured' int8+fuse b4 at 51.6 img/s vs its 243-305
+documented band; in-window statistics cannot flag a window that is
+stalled end to end). The b1
 single-image envelope + median remain as aux lines for round-over-round
 comparability with BENCH_r0{1,2,3}.json (whose headline was the b1
 envelope) — NOTE: from r04 the estimator under those names is STRICTER
@@ -318,6 +325,37 @@ def emit_phase_evidence(label, batch, per_iter, estimates, window_secs):
     print(json.dumps(rec), flush=True)
 
 
+def measure_with_floor_retry(label, batch, floor_rate, measure,
+                             settle_secs=90.0):
+    """Run a measurement window; re-run it ONCE if the result is
+    physically implausible (round-4 VERDICT item 2's 'health-gated
+    retry').
+
+    `floor_rate` is a same-run cross-line bound: a larger-batch window
+    can never legitimately measure a lower aggregate rate than this
+    run's own batch-1 envelope, so landing below it means the relay
+    stalled through the whole window (in-window statistics cannot flag
+    that — a fully-stalled window is internally consistent; observed
+    2026-08-21: int8+fuse b4 'measured' 51.6 img/s against a 243-305
+    documented band while the same run's b1 bf16 envelope was 161).
+    On an implausible window: emit a diagnostic line, wait settle_secs
+    for the stall phase to pass, re-measure once, and keep the BETTER
+    window (both attempts' evidence is in the artifact). Bounded: at
+    most one retry per window, no retry when floor_rate is None (b1
+    aux lines skipped, e.g. under GPP_BENCH_BATCH overrides)."""
+    per_iter, estimates = measure()
+    if floor_rate is None or batch / per_iter >= floor_rate:
+        return per_iter, estimates
+    rate = batch / per_iter
+    emit(f"gpp_window_stall_retry_{label}", rate, "images/sec/chip",
+         rate / REFERENCE_FPS_ESTIMATE)
+    time.sleep(settle_secs)
+    per_iter2, estimates2 = measure()
+    if per_iter2 < per_iter:
+        return per_iter2, estimates2
+    return per_iter, estimates
+
+
 def main():
     from ground_plane_polling_tpu.inference import make_detect_fn
     from ground_plane_polling_tpu.models import build_detector
@@ -351,12 +389,14 @@ def main():
     # b1 aux lines: the single-image envelope (BENCH_r0{1,2,3}'s headline
     # metric, kept under the SAME name for round-over-round comparability),
     # its estimate-spread median, and MFU.
+    b1_rate = None  # floor for the later windows' stall-retry check
     if B1_WINDOW_SECS > 0 and BATCH == 1:
         per_iter_1, estimates_1 = measure_envelope(
             fn, variables, images, P_inv, planes,
             B1_WINDOW_SECS, MIN_ESTIMATES)
-        emit(f"gpp_resnet50_e2e_inference{suffix}", 1.0 / per_iter_1,
-             "images/sec/chip", (1.0 / per_iter_1) / REFERENCE_FPS_ESTIMATE)
+        b1_rate = 1.0 / per_iter_1
+        emit(f"gpp_resnet50_e2e_inference{suffix}", b1_rate,
+             "images/sec/chip", b1_rate / REFERENCE_FPS_ESTIMATE)
         rates_1 = sorted(1.0 / e for e in estimates_1)
         median_1 = rates_1[len(rates_1) // 2]
         emit(f"gpp_b1_estimate_spread_median_n{len(rates_1)}{suffix}",
@@ -374,9 +414,11 @@ def main():
     # measured bf16 serving sweet spot (docs/PERFORMANCE.md round-3 sweep)
     if AUX_WINDOW_SECS > 0 and BATCH == 1:
         images_a, P_inv_a, planes_a = _inputs(rng, 2)
-        per_iter_a, _ = measure_envelope(
-            fn, variables, images_a, P_inv_a, planes_a,
-            AUX_WINDOW_SECS, MIN_ESTIMATES)
+        per_iter_a, _ = measure_with_floor_retry(
+            "b2", 2, b1_rate,
+            lambda: measure_envelope(fn, variables, images_a, P_inv_a,
+                                     planes_a, AUX_WINDOW_SECS,
+                                     MIN_ESTIMATES))
         emit(f"gpp_resnet50_e2e_inference_b2{suffix}", 2 / per_iter_a,
              "images/sec/chip", (2 / per_iter_a) / REFERENCE_FPS_ESTIMATE)
 
@@ -403,9 +445,11 @@ def main():
                               quant_scales=scales_qf)
         b_q = INT8_AUX_BATCH
         images_q, P_inv_q, planes_q = _inputs(rng, b_q)
-        per_iter_q, _ = measure_envelope(
-            fn_q, variables_qf, images_q, P_inv_q, planes_q,
-            INT8_WINDOW_SECS, MIN_ESTIMATES)
+        per_iter_q, _ = measure_with_floor_retry(
+            f"b{b_q}_int8_fuse", b_q, b1_rate,
+            lambda: measure_envelope(fn_q, variables_qf, images_q,
+                                     P_inv_q, planes_q, INT8_WINDOW_SECS,
+                                     MIN_ESTIMATES))
         emit(f"gpp_resnet50_e2e_inference_b{b_q}_int8_fuse",
              b_q / per_iter_q, "images/sec/chip",
              (b_q / per_iter_q) / REFERENCE_FPS_ESTIMATE)
@@ -416,9 +460,10 @@ def main():
     # measures that batch instead (and the aux blocks above are skipped).
     headline_batch = 4 if BATCH == 1 else BATCH
     images_h, P_inv_h, planes_h = _inputs(rng, headline_batch)
-    per_iter, estimates = measure_envelope(
-        fn, variables, images_h, P_inv_h, planes_h,
-        WINDOW_SECS, MIN_ESTIMATES)
+    per_iter, estimates = measure_with_floor_retry(
+        f"b{headline_batch}{suffix}", headline_batch, b1_rate,
+        lambda: measure_envelope(fn, variables, images_h, P_inv_h,
+                                 planes_h, WINDOW_SECS, MIN_ESTIMATES))
     images_per_sec = headline_batch / per_iter
 
     # estimate spread: how bimodal was the relay during this measurement?
