@@ -325,9 +325,12 @@ def emit_phase_evidence(label, batch, per_iter, estimates, window_secs):
     print(json.dumps(rec), flush=True)
 
 
+STALL_RETRIES = int(os.environ.get("GPP_BENCH_STALL_RETRIES", 2))
+
+
 def measure_with_floor_retry(label, batch, floor_rate, measure,
-                             settle_secs=90.0):
-    """Run a measurement window; re-run it ONCE if the result is
+                             settle_secs=90.0, retries=None):
+    """Run a measurement window; re-run it (bounded) while the result is
     physically implausible (round-4 VERDICT item 2's 'health-gated
     retry').
 
@@ -338,22 +341,29 @@ def measure_with_floor_retry(label, batch, floor_rate, measure,
     that — a fully-stalled window is internally consistent; observed
     2026-08-21: int8+fuse b4 'measured' 51.6 img/s against a 243-305
     documented band while the same run's b1 bf16 envelope was 161).
-    On an implausible window: emit a diagnostic line, wait settle_secs
-    for the stall phase to pass, re-measure once, and keep the BETTER
-    window (both attempts' evidence is in the artifact). Bounded: at
-    most one retry per window, no retry when floor_rate is None (b1
-    aux lines skipped, e.g. under GPP_BENCH_BATCH overrides)."""
-    per_iter, estimates = measure()
-    if floor_rate is None or batch / per_iter >= floor_rate:
-        return per_iter, estimates
-    rate = batch / per_iter
-    emit(f"gpp_window_stall_retry_{label}", rate, "images/sec/chip",
-         rate / REFERENCE_FPS_ESTIMATE)
-    time.sleep(settle_secs)
-    per_iter2, estimates2 = measure()
-    if per_iter2 < per_iter:
-        return per_iter2, estimates2
-    return per_iter, estimates
+    On an implausible window: emit a diagnostic line, wait out the
+    stall (settle doubles per attempt — measured stall phases run
+    minutes, and the first production retry at 90 s re-measured a
+    still-stalled b2 window), re-measure, keep the BEST window overall
+    (every discarded attempt's rate is in the artifact). Bounded:
+    GPP_BENCH_STALL_RETRIES attempts (default 2, <=8.5 min added worst
+    case), none when floor_rate is None (b1 aux lines skipped, e.g.
+    under GPP_BENCH_BATCH overrides)."""
+    if retries is None:
+        retries = STALL_RETRIES
+    best = measure()
+    attempts = 0
+    while (floor_rate is not None and attempts < retries
+           and batch / best[0] < floor_rate):
+        rate = batch / best[0]
+        emit(f"gpp_window_stall_retry_{label}", rate, "images/sec/chip",
+             rate / REFERENCE_FPS_ESTIMATE)
+        time.sleep(settle_secs * (2.0 ** attempts))
+        attempts += 1
+        again = measure()
+        if again[0] < best[0]:
+            best = again
+    return best
 
 
 def main():

@@ -222,10 +222,29 @@ def test_floor_retry_remeasures_stalled_window(capsys):
     assert "gpp_window_stall_retry_b4" in out and "50.0" in out
 
 
+def test_floor_retry_escalates_through_repeated_stalls(capsys):
+    # both early windows stalled (the 2026-08-21 b2 production case:
+    # the single 90 s-settle retry re-measured a still-stalled window);
+    # the default 2-attempt escalation reaches the healthy third window
+    seq = [(0.27, [0.27]), (0.26, [0.26]), (0.02, [0.02, 0.021])]
+    per, _ = bench.measure_with_floor_retry(
+        "b2", 2, 100.0, lambda: seq.pop(0), settle_secs=0.0, retries=2)
+    assert per == 0.02
+    assert capsys.readouterr().out.count("gpp_window_stall_retry_b2") == 2
+
+
+def test_floor_retry_gives_up_after_bounded_attempts(capsys):
+    seq = [(0.27, [0.27]), (0.28, [0.28]), (0.26, [0.26])]
+    per, _ = bench.measure_with_floor_retry(
+        "b2", 2, 100.0, lambda: seq.pop(0), settle_secs=0.0, retries=2)
+    assert per == 0.26  # best of the three stalled windows, published
+    assert not seq  # exactly retries+1 = 3 windows measured
+
+
 def test_floor_retry_keeps_first_if_retry_worse():
     seq = [(0.08, [0.08]), (0.09, [0.09])]
     per, _ = bench.measure_with_floor_retry(
-        "b4", 4, 160.0, lambda: seq.pop(0), settle_secs=0.0)
+        "b4", 4, 160.0, lambda: seq.pop(0), settle_secs=0.0, retries=1)
     assert per == 0.08
 
 
