@@ -238,20 +238,32 @@ def robust_estimates(estimates):
     return [e for e in finite if e >= floor]
 
 
+# transient relay failure signatures that a fresh process recovers from:
+# per-process registration ("axon ... not in the list of known backends")
+# and mid-run RPC drops on the relay's compile/load service (observed
+# round-5 gate: "remote_compile: read body: response body closed before
+# all bytes were read" killed the bench AFTER four good windows)
+_TRANSIENT_RELAY_SIGNATURES = ("axon", "remote_compile",
+                               "response body closed", "connection reset",
+                               "connection refused")
+
+
 def _retry_on_dead_relay(exc: BaseException) -> None:
     """The axon relay registers per-process at interpreter startup and
-    fails transiently; a failed registration cannot be repaired in-process.
+    fails transiently; a failed registration cannot be repaired in-process,
+    and a dropped compile-service RPC poisons the backend mid-run.
     Re-exec the interpreter (bounded by GPP_BENCH_EXEC_RETRIES) so the
     round's headline measurement survives a relay blip."""
     import sys
 
-    if "axon" not in str(exc):
+    msg = str(exc).lower()
+    if not any(sig in msg for sig in _TRANSIENT_RELAY_SIGNATURES):
         raise exc
     tries = int(os.environ.get("GPP_BENCH_EXEC_RETRIES", "10"))
     if tries <= 0:
         raise exc
     os.environ["GPP_BENCH_EXEC_RETRIES"] = str(tries - 1)
-    print(f"relay registration failed ({exc}); retrying in 60s "
+    print(f"transient relay failure ({exc}); re-exec in 60s "
           f"({tries} attempts left)", file=sys.stderr, flush=True)
     time.sleep(60)
     os.execv(sys.executable, [sys.executable] + sys.argv)

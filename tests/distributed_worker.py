@@ -28,6 +28,25 @@ jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _barrier(name, timeout_ms=900_000):
+    """Coordination-service barrier (pure KV store — no Gloo involved).
+
+    XLA:CPU's Gloo collective-context rendezvous has a hardcoded ~30 s
+    deadline, while on this 1-CPU box the two workers' compile times can
+    skew by minutes under slow-lane contention. Dispatching the first
+    collective without alignment flakes (observed round-5 gate run:
+    'Gloo context initialization failed: DEADLINE_EXCEEDED:
+    GetKeyValue() timed out ... 29.99s' on worker 0 while worker 1 was
+    still compiling). The worker therefore AOT-compiles each collective
+    program, passes this barrier, and only then dispatches — first-
+    collective skew drops from compile-time difference to milliseconds."""
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
+
+
 def main():
     import numpy as np
     import optax
@@ -56,10 +75,12 @@ def main():
     mesh = data_parallel_mesh()  # all 8 global devices
     step = make_sharded_train_step(model, tx, mesh)
     batch = make_global_batch(mesh, _tiny_batch(batch=8))
+    step_c = step.lower(state, batch).compile()  # no collective yet
+    _barrier("gpp_step_compiled")
 
     n_steps = int(os.environ.get("GPP_DIST_STEPS", "2"))
     for _ in range(n_steps):
-        state, metrics = step(state, batch)
+        state, metrics = step_c(state, batch)
 
     loss = float(metrics["loss"])  # replicated -> addressable on every host
     print(f"process {jax.process_index()}: step {int(state.step)} "
@@ -77,8 +98,10 @@ def main():
         model.init(jax.random.PRNGKey(0),
                    jnp.zeros((1, *IMG, 3), jnp.float32)),
         tx, learning_rate=1e-3)
-    fused_state, fm = fused(
-        fused_state, make_global_raw_batch(mesh, _tiny_raw_batch(batch=8)))
+    raw = make_global_raw_batch(mesh, _tiny_raw_batch(batch=8))
+    fused_c = fused.lower(fused_state, raw).compile()
+    _barrier("gpp_fused_compiled")
+    fused_state, fm = fused_c(fused_state, raw)
     fused_loss = float(fm["loss"])
     print(f"process {jax.process_index()}: fused loss {fused_loss:.6f}",
           flush=True)

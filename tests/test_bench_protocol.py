@@ -258,3 +258,23 @@ def test_floor_retry_skipped_without_floor():
     per, _ = bench.measure_with_floor_retry("b4", 4, None, measure,
                                             settle_secs=0.0)
     assert per == 0.5 and len(calls) == 1
+
+
+def test_retry_on_dead_relay_signatures(monkeypatch):
+    """Transient relay failures (registration AND mid-run RPC drops)
+    re-exec; anything else re-raises unchanged."""
+    execs = []
+    monkeypatch.setattr(bench.os, "execv", lambda *a: execs.append(a))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setenv("GPP_BENCH_EXEC_RETRIES", "2")
+    for msg in ("Backend 'axon' is not in the list of known backends",
+                "INTERNAL: http://127.0.0.1:8093/remote_compile: read "
+                "body: response body closed before all bytes were read"):
+        bench._retry_on_dead_relay(RuntimeError(msg))
+    assert len(execs) == 2
+    with pytest.raises(RuntimeError, match="genuine bug"):
+        bench._retry_on_dead_relay(RuntimeError("genuine bug"))
+    # exhausted budget re-raises even transient failures
+    monkeypatch.setenv("GPP_BENCH_EXEC_RETRIES", "0")
+    with pytest.raises(RuntimeError):
+        bench._retry_on_dead_relay(RuntimeError("axon relay blip"))
