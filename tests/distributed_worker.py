@@ -28,7 +28,7 @@ jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _barrier(name, timeout_ms=900_000):
+def _barrier(name, timeout_ms=300_000):
     """Coordination-service barrier (pure KV store — no Gloo involved).
 
     XLA:CPU's Gloo collective-context rendezvous has a hardcoded ~30 s
@@ -39,7 +39,12 @@ def _barrier(name, timeout_ms=900_000):
     GetKeyValue() timed out ... 29.99s' on worker 0 while worker 1 was
     still compiling). The worker therefore AOT-compiles each collective
     program, passes this barrier, and only then dispatches — first-
-    collective skew drops from compile-time difference to milliseconds."""
+    collective skew drops from compile-time difference to milliseconds.
+
+    The timeout is 300 s, NOT the test's full 1500 s budget: the wait
+    here is only the workers' compile-time DIFFERENCE (both compile the
+    same program concurrently), and a dead peer should surface as a
+    bounded barrier error, not eat the slow lane's wall time."""
     from jax._src import distributed
 
     client = distributed.global_state.client

@@ -54,6 +54,11 @@ def test_corroborated_envelope_degenerate_windows():
     # never sets the envelope)
     assert bench.corroborated_envelope(
         [0.0050, 0.0054, 0.0060, 0.0062, 0.0090]) == 0.0054
+    # a mutually-corroborating SLOW-TAIL pair must not set a sub-median
+    # envelope either: the 0.009/0.0091 pair corroborates but the median
+    # clamp keeps the better mid-window estimate (round-5 review)
+    assert bench.corroborated_envelope(
+        [0.004, 0.0055, 0.006, 0.009, 0.0091]) == 0.006
 
 
 def test_corroborated_envelope_rejects_twin_artifacts():
@@ -241,11 +246,15 @@ def test_floor_retry_gives_up_after_bounded_attempts(capsys):
     assert not seq  # exactly retries+1 = 3 windows measured
 
 
-def test_floor_retry_keeps_first_if_retry_worse():
+def test_floor_retry_keeps_first_if_retry_worse(capsys):
     seq = [(0.08, [0.08]), (0.09, [0.09])]
     per, _ = bench.measure_with_floor_retry(
         "b4", 4, 160.0, lambda: seq.pop(0), settle_secs=0.0, retries=1)
     assert per == 0.08
+    # the retry line records the DISCARDED window's own rate (4/0.09 =
+    # 44.4), not the published best-so-far — the artifact must account
+    # for every attempt (round-5 review)
+    assert "44.4" in capsys.readouterr().out
 
 
 def test_floor_retry_skipped_without_floor():
